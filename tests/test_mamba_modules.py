@@ -1,0 +1,103 @@
+"""Mamba module tests: shapes, bidirectional symmetry, decode consistency.
+
+Extends the reference's smoke test (/root/reference/mamba/test_mamba_module.py)
+with the checks it lacks: step-decode vs full-sequence equivalence and
+flip-equivariance of the bidirectional mixers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_mamba_suite_tpu.models import (
+    MambaCausal,
+    MambaDBM,
+    MambaScanNorm,
+    MambaVim,
+    MambaLMHeadModel,
+)
+from video_mamba_suite_tpu.models.generation import GenerationConfig, generate
+
+
+@pytest.mark.parametrize("cls", [MambaVim, MambaDBM, MambaScanNorm, MambaCausal])
+def test_shapes_and_grads(cls):
+    model = cls(d_model=32, d_state=8, expand=2, impl="assoc")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 32))
+    params = model.init(jax.random.PRNGKey(1), x)
+    y = model.apply(params, x)
+    assert y.shape == x.shape
+    assert jnp.all(jnp.isfinite(y))
+
+    def loss(p):
+        return jnp.sum(model.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(jnp.all(jnp.isfinite(l)) for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def test_vim_time_flip_equivariance():
+    """A bidirectional mixer with mirrored params swapped should satisfy
+    flip(f(x)) == f_swapped(flip(x)); with *identical* fwd/bwd params it is
+    exactly flip-equivariant."""
+    model = MambaVim(d_model=16, d_state=4, expand=1, impl="assoc")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 12, 16))
+    params = model.init(jax.random.PRNGKey(1), x)
+    # make both directions share weights
+    p = params["params"]
+    p_shared = dict(p)
+    p_shared["bwd"] = jax.tree_util.tree_map(lambda a: a, p["fwd"])
+    params_shared = {"params": p_shared}
+    y = model.apply(params_shared, x)
+    y_flip = model.apply(params_shared, jnp.flip(x, axis=1))
+    np.testing.assert_allclose(
+        np.asarray(jnp.flip(y_flip, axis=1)), np.asarray(y), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_causal_step_matches_full_forward():
+    """Token-by-token decode == full-sequence forward (causal mixer)."""
+    model = MambaCausal(d_model=24, d_state=8, d_conv=4, expand=2, impl="ref")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 24))
+    params = model.init(jax.random.PRNGKey(1), x)
+    full = model.apply(params, x)
+
+    state = (
+        jnp.zeros((2, 4, 48), jnp.float32),
+        jnp.zeros((2, 48, 8), jnp.float32),
+    )
+    outs = []
+    for t in range(10):
+        o, state = model.apply(params, x[:, t], state, method="step")
+        outs.append(o)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(stepped), np.asarray(full), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_lm_head_generate_smoke():
+    model = MambaLMHeadModel(d_model=32, n_layer=2, vocab_size=50)
+    ids = jnp.array([[3, 7, 1]], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    logits = model.apply(params, ids)
+    assert logits.shape == (1, 3, 56)  # padded vocab (multiple of 8)
+
+    out = generate(model, params, ids, GenerationConfig(max_length=8))
+    assert out.shape == (1, 8)
+    # prompt preserved
+    np.testing.assert_array_equal(np.asarray(out[0, :3]), [3, 7, 1])
+
+
+def test_lm_generate_greedy_matches_forward_argmax():
+    """Greedy decode's first generated token == argmax of the full-forward
+    logits at the last prompt position (state caching correctness)."""
+    model = MambaLMHeadModel(d_model=32, n_layer=2, vocab_size=50)
+    ids = jnp.array([[3, 7, 1, 4]], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    logits = model.apply(params, ids)
+    expect = int(jnp.argmax(logits[0, -1]))
+    out = generate(model, params, ids, GenerationConfig(max_length=6))
+    assert int(out[0, 4]) == expect

@@ -1,0 +1,125 @@
+"""Pallas chunked-scan kernel vs the sequential reference (interpret mode).
+
+Same-device equivalence sweep, the analogue of the reference CUDA-vs-ref
+matrix (/root/reference/mamba/tests/ops/test_selective_scan.py:40-150).
+Runs in Pallas interpret mode on CPU; the same kernel compiles through
+Mosaic on TPU (verified on hardware; see bench.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_mamba_suite_tpu.ops import selective_scan_ref
+from video_mamba_suite_tpu.ops.selective_scan_pallas import selective_scan_pallas
+
+
+def _inputs(rng, b, l, d, n, itype, has_d, has_z, has_bias):
+    ks = jax.random.split(rng, 9)
+    u = jax.random.normal(ks[0], (b, l, d), dtype=itype)
+    delta = 0.5 * jax.random.uniform(ks[1], (b, l, d), dtype=itype)
+    A = (-0.5 * jax.random.uniform(ks[2], (d, n))).astype(jnp.float32)
+    B = jax.random.normal(ks[3], (b, l, n), dtype=itype)
+    C = jax.random.normal(ks[4], (b, l, n), dtype=itype)
+    D = jax.random.normal(ks[5], (d,), dtype=jnp.float32) if has_d else None
+    z = jax.random.normal(ks[6], (b, l, d), dtype=itype) if has_z else None
+    bias = (
+        0.5 * jax.random.uniform(ks[7], (d,), dtype=jnp.float32)
+        if has_bias else None
+    )
+    g = jax.random.normal(ks[8], (b, l, d), dtype=jnp.float32)
+    return u, delta, A, B, C, D, z, bias, g
+
+
+@pytest.mark.parametrize("itype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("seqlen", [30, 128, 200, 513])
+@pytest.mark.parametrize("has_z", [False, True])
+@pytest.mark.parametrize("has_d", [False, True])
+def test_pallas_fwd_bwd_vs_ref(itype, seqlen, has_z, has_d):
+    rng = jax.random.PRNGKey(seqlen + 31 * has_z + 101 * has_d)
+    u, delta, A, B, C, D, z, bias, g = _inputs(
+        rng, b=2, l=seqlen, d=24, n=8, itype=itype,
+        has_d=has_d, has_z=has_z, has_bias=True,
+    )
+    tol = (
+        dict(rtol=6e-4, atol=2e-3) if itype == jnp.float32
+        else dict(rtol=3e-2, atol=5e-2)
+    )
+    out_ref, last_ref = selective_scan_ref(
+        u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+        delta_softplus=True, return_last_state=True,
+    )
+    out_p, last_p = selective_scan_pallas(
+        u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+        delta_softplus=True, return_last_state=True, chunk=64, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p, np.float32), np.asarray(out_ref, np.float32), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(last_p), np.asarray(last_ref), rtol=1e-2, atol=1e-2
+    )
+
+    def mkloss(fn):
+        def f(u, delta, A, B, C, D, z, bias):
+            out = fn(u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+                     delta_softplus=True)
+            return jnp.sum(out.astype(jnp.float32) * g)
+        return f
+
+    wrt = [0, 1, 2, 3, 4] + ([5] if has_d else []) + ([6] if has_z else []) + [7]
+    gr = jax.grad(mkloss(selective_scan_ref), argnums=tuple(wrt))(
+        u, delta, A, B, C, D, z, bias
+    )
+    gp = jax.grad(
+        mkloss(lambda *a, **k: selective_scan_pallas(*a, chunk=64, interpret=True, **k)),
+        argnums=tuple(wrt),
+    )(u, delta, A, B, C, D, z, bias)
+    gtol = (
+        dict(rtol=2e-3, atol=3e-3) if itype == jnp.float32
+        else dict(rtol=3e-2, atol=8e-2)
+    )
+    for a_, r_ in zip(gp, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(r_))))
+        np.testing.assert_allclose(
+            np.asarray(a_, np.float32) / scale,
+            np.asarray(r_, np.float32) / scale, **gtol,
+        )
+
+
+def test_pallas_no_optional_args():
+    """Minimal signature: no D, no z, no delta_bias, no softplus."""
+    rng = jax.random.PRNGKey(0)
+    u, delta, A, B, C, _, _, _, _ = _inputs(
+        rng, 1, 96, 16, 4, jnp.float32, False, False, False
+    )
+    delta = delta + 0.1  # keep positive without softplus
+    out_ref = selective_scan_ref(u, delta, A, B, C)
+    out_p = selective_scan_pallas(u, delta, A, B, C, chunk=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_ref), rtol=6e-4, atol=2e-3
+    )
+
+
+def test_pallas_determinism():
+    """Repeated fwd+bwd is bit-stable (the analogue of the reference's
+    causal-conv race-condition stress test, test_causal_conv1d.py:133-165)."""
+    rng = jax.random.PRNGKey(7)
+    u, delta, A, B, C, D, z, bias, g = _inputs(
+        rng, 2, 100, 20, 8, jnp.float32, True, True, True
+    )
+
+    def loss(u, delta, A, B, C):
+        out = selective_scan_pallas(
+            u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+            delta_softplus=True, chunk=32, interpret=True,
+        )
+        return jnp.sum(out * g)
+
+    f = jax.jit(jax.grad(loss, argnums=(0, 2)))
+    first = f(u, delta, A, B, C)
+    for _ in range(3):
+        again = f(u, delta, A, B, C)
+        for x, y in zip(first, again):
+            assert jnp.array_equal(x, y)

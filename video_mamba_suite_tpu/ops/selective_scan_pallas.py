@@ -1,0 +1,475 @@
+"""Pallas TPU chunked selective-scan kernel with custom VJP.
+
+TPU-native analogue of the reference CUDA kernels
+(/root/reference/mamba/csrc/selective_scan/selective_scan_fwd_kernel.cuh and
+ selective_scan_bwd_kernel.cuh + reverse_scan.cuh): the sequence is processed
+in chunks with a carried (state) prefix, exactly like the CUDA kernel's
+`smem_running_prefix` (fwd_kernel.cuh:251-254); the per-chunk initial states
+are checkpointed to HBM for the backward (the CUDA `x_ptr` checkpoints,
+selective_scan.cpp:249), which walks chunks in reverse, recomputes the
+in-chunk forward states, and runs the adjoint (suffix) scan — the
+`BlockReverseScan` analogue (reverse_scan.cuh:19-100).
+
+Design:
+  * Grid: (batch, dim_tiles, seq_chunks); the seq axis is innermost so a VMEM
+    scratch buffer carries the running state across chunks of one (b, d-tile).
+  * In-kernel chunk layout: (chunk, dstate, d_tile) with d_tile riding the
+    TPU lane axis (128) and dstate on sublanes.
+  * The first-order recurrence is evaluated with an exact
+    `lax.associative_scan` over the chunk axis — the same
+    (a1,b1)∘(a2,b2)=(a1·a2, a2·b1+b2) operator the CUDA kernel feeds to
+    cub::BlockScan — avoiding the numerically unstable cumsum-of-logs trick.
+  * delta-bias + softplus, discretization, C-projection, D-skip and SiLU(z)
+    gating are all fused into the kernel (SSMParamsBase semantics,
+    selective_scan.h:26-101).
+
+Shapes (time-major, dim last — see selective_scan.py):
+  u, delta, z: (batch, seqlen, dim)   B, C: (batch, seqlen, dstate)
+  A: (dim, dstate)   D, delta_bias: (dim,)
+The wrapper pads seqlen/dim to chunk/tile multiples (padding with delta=0
+⇒ a=1, b=0 ⇒ identity scan elements, so results are unaffected).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_CHUNK = 128
+DEFAULT_DTILE = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _row(x, i: int):
+    """x[i] for static i via lax.slice (Mosaic has no dynamic_slice)."""
+    c = x.shape[0]
+    i = i % c
+    return jax.lax.squeeze(jax.lax.slice_in_dim(x, i, i + 1, axis=0), (0,))
+
+
+def _combine(lhs, rhs):
+    a1, b1 = lhs
+    a2, b2 = rhs
+    return a1 * a2, a2 * b1 + b2
+
+
+def _inclusive_scan(a, b):
+    """Hillis–Steele inclusive scan of the pair (a, b) over axis 0.
+
+    x_t = a_t · x_{t-1} + b_t; returns (a_cum, h) where a_cum_t = ∏_{s≤t} a_s
+    and h_t is the recurrence value with x_{-1}=0. Uses only static
+    concatenations and elementwise ops so it lowers cleanly through Mosaic
+    (the generic `lax.associative_scan` emits zero-size slices Mosaic
+    rejects). log2(c) passes over the (c, n, d) chunk in VMEM.
+    """
+    c = a.shape[0]
+    shift = 1
+    while shift < c:
+        a_prev = jnp.concatenate([jnp.ones_like(a[:shift]), a[:-shift]], axis=0)
+        b_prev = jnp.concatenate([jnp.zeros_like(b[:shift]), b[:-shift]], axis=0)
+        b = a * b_prev + b
+        a = a * a_prev
+        shift *= 2
+    return a, b
+
+
+def _reverse_scan(a, s):
+    """Hillis–Steele suffix scan: x_t = a_t · x_{t+1} + s_t (x_c = 0).
+
+    Mirror of `_inclusive_scan` shifted the other way (Mosaic lowers neither
+    `rev` nor odd-size associative_scan slices, so no flip-scan-flip).
+    """
+    c = a.shape[0]
+    shift = 1
+    while shift < c:
+        a_next = jnp.concatenate([a[shift:], jnp.ones_like(a[:shift])], axis=0)
+        s_next = jnp.concatenate([s[shift:], jnp.zeros_like(s[:shift])], axis=0)
+        s = a * s_next + s
+        a = a * a_next
+        shift *= 2
+    return s
+
+
+def _discretize(u_ref, delta_ref, b_ref, a_t, bias_t, softplus: bool,
+                li, chunk: int, seqlen: int):
+    """Shared fwd/bwd prologue: load one chunk, discretize, mask padding.
+
+    Timesteps at or beyond the true seqlen get dt = 0 (⇒ a = 1, bu = 0, an
+    identity scan element), so seq padding never perturbs the carried state.
+    Returns (u, dt_pre, dt, mask, a, bu): u/dt/mask (c, d) fp32,
+    a/bu (c, n, d) fp32.
+    """
+    u = u_ref[0].astype(jnp.float32)             # (c, d)
+    dt_pre = delta_ref[0].astype(jnp.float32) + bias_t  # (c, d)
+    dt = jax.nn.softplus(dt_pre) if softplus else dt_pre
+    pos = li * chunk + jax.lax.broadcasted_iota(jnp.int32, dt.shape, 0)
+    mask = (pos < seqlen).astype(jnp.float32)    # (c, d)
+    dt = dt * mask
+    bmat = b_ref[0].astype(jnp.float32)          # (c, n)
+    a = jnp.exp(dt[:, None, :] * a_t[None])      # (c, n, d)
+    bu = (dt * u)[:, None, :] * bmat[:, :, None]  # (c, n, d)
+    return u, dt_pre, dt, mask, a, bu
+
+
+def _fwd_kernel(
+    u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref,
+    out_ref, states_ref, last_ref,
+    h_carry,
+    *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
+    chunk: int, seqlen: int,
+):
+    li = pl.program_id(2)
+
+    @pl.when(li == 0)
+    def _():
+        h_carry[...] = jnp.zeros_like(h_carry)
+
+    a_t = a_ref[...].astype(jnp.float32)         # (n, d) — A tile, transposed
+    bias_t = bias_ref[0].astype(jnp.float32)     # (1, d) broadcasts over c
+    u, _, dt, _, a, bu = _discretize(
+        u_ref, delta_ref, b_ref, a_t, bias_t, softplus, li, chunk, seqlen)
+
+    h0 = h_carry[...]                            # (n, d) carried prefix state
+    states_ref[0, 0] = h0                        # checkpoint for the backward
+
+    a_cum, h_in = _inclusive_scan(a, bu)
+    h = h_in + a_cum * h0[None]                  # (c, n, d) full states
+
+    c_mat = c_ref[0].astype(jnp.float32)         # (c, n)
+    y = jnp.sum(h * c_mat[:, :, None], axis=1)   # (c, d)
+    if has_d:
+        y = y + u * d_ref[0].astype(jnp.float32)
+    if has_z:
+        z = z_ref[0].astype(jnp.float32)
+        y = y * (z * jax.nn.sigmoid(z))
+    out_ref[0] = y.astype(out_ref.dtype)
+
+    h_last = _row(h, -1)
+    h_carry[...] = h_last
+
+    @pl.when(li == nchunks - 1)
+    def _():
+        last_ref[0] = h_last
+
+
+def _bwd_kernel(
+    u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref,
+    states_ref, g_ref,
+    du_ref, ddelta_ref, da_ref, db_ref, dc_ref, dd_ref, dz_ref, dbias_ref,
+    dh_carry,
+    *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
+    chunk: int, seqlen: int,
+):
+    li = pl.program_id(2)  # index maps reverse it: li=0 is the LAST chunk
+
+    @pl.when(li == 0)
+    def _():
+        dh_carry[...] = jnp.zeros_like(dh_carry)
+        da_ref[0] = jnp.zeros_like(da_ref[0])
+        dd_ref[0] = jnp.zeros_like(dd_ref[0])
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    a_t = a_ref[...].astype(jnp.float32)
+    bias_t = bias_ref[0].astype(jnp.float32)
+    u, dt_pre, dt, mask, a, bu = _discretize(
+        u_ref, delta_ref, b_ref, a_t, bias_t, softplus,
+        nchunks - 1 - li, chunk, seqlen)
+
+    # Recompute in-chunk forward states from the checkpointed chunk-initial
+    # state (the CUDA bwd does the same from x_ptr, bwd_kernel.cuh:141-146).
+    h0 = states_ref[0, 0]                        # (n, d)
+    a_cum, h_in = _inclusive_scan(a, bu)
+    h = h_in + a_cum * h0[None]                  # (c, n, d)
+    h_prev = jnp.concatenate([h0[None], h[:-1]], axis=0)
+
+    g = g_ref[0].astype(jnp.float32)             # (c, d) dL/dout
+    c_mat = c_ref[0].astype(jnp.float32)         # (c, n)
+
+    if has_z:
+        z = z_ref[0].astype(jnp.float32)
+        sig = jax.nn.sigmoid(z)
+        silu = z * sig
+        y_pre = jnp.sum(h * c_mat[:, :, None], axis=1)
+        if has_d:
+            y_pre = y_pre + u * d_ref[0].astype(jnp.float32)
+        dz = g * y_pre * (sig + silu * (1.0 - sig))
+        dz_ref[0] = dz.astype(dz_ref.dtype)
+        gy = g * silu                            # grad w.r.t. pre-gate y
+    else:
+        gy = g
+
+    # dC[t,n] = Σ_d gy[t,d] · h[t,n,d]
+    dc_ref[0] = jnp.sum(gy[:, None, :] * h, axis=2).astype(dc_ref.dtype)
+
+    # Adjoint recurrence dh_t = C_t⊗gy_t + a_{t+1}⊙dh_{t+1}: a reverse
+    # (suffix) scan with pair (a_{t+1}, s_t). The cross-chunk term a_first·dh
+    # of chunk t+1 arrives via dh_carry and is absorbed into the last source.
+    s = c_mat[:, :, None] * gy[:, None, :]       # (c, n, d)
+    dh_next = dh_carry[...]                      # already includes a_first
+    s = jnp.concatenate([s[:-1], (_row(s, -1) + dh_next)[None]], axis=0)
+    a_shift = jnp.concatenate([a[1:], jnp.ones_like(a[:1])], axis=0)
+    dh = _reverse_scan(a_shift, s)               # (c, n, d)
+    dh_carry[...] = _row(a, 0) * _row(dh, 0)     # carry to previous chunk
+
+    da_el = dh * h_prev                          # ∂L/∂a_t (c, n, d)
+    da_ref[0] += jnp.sum(da_el * a * dt[:, None, :], axis=0)  # → dA (n, d)
+
+    # dB[t,n] = Σ_d dh[t,n,d] · dt·u
+    db_ref[0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2).astype(db_ref.dtype)
+
+    bmat = b_ref[0].astype(jnp.float32)          # (c, n)
+    dh_b = jnp.sum(dh * bmat[:, :, None], axis=1)  # Σ_n dh·B (c, d)
+    du = dh_b * dt
+    if has_d:
+        dval = d_ref[0].astype(jnp.float32)
+        du = du + gy * dval
+        dd_ref[0] += jnp.sum(gy * u, axis=0, keepdims=True)
+    du_ref[0] = du.astype(du_ref.dtype)
+
+    ddt = jnp.sum(da_el * a * a_t[None], axis=1) + dh_b * u
+    if softplus:
+        ddt = ddt * jax.nn.sigmoid(dt_pre)
+    ddt = ddt * mask  # padded steps contribute nothing to dbias
+    ddelta_ref[0] = ddt.astype(ddelta_ref.dtype)
+    dbias_ref[0] += jnp.sum(ddt, axis=0, keepdims=True)
+
+
+def _pad_args(u, delta, B, C, z, g, chunk, dtile):
+    b, l, d = u.shape
+    lp, dp = _round_up(l, chunk), _round_up(d, dtile)
+    pad_l, pad_d = lp - l, dp - d
+
+    def pad_ld(x):
+        return jnp.pad(x, ((0, 0), (0, pad_l), (0, pad_d))) if x is not None else None
+
+    return (
+        pad_ld(u), pad_ld(delta),
+        jnp.pad(B, ((0, 0), (0, pad_l), (0, 0))),
+        jnp.pad(C, ((0, 0), (0, pad_l), (0, 0))),
+        pad_ld(z), pad_ld(g), lp, dp,
+    )
+
+
+def _pad_params(A, D, delta_bias, dim, dp):
+    At = jnp.pad(A.T.astype(jnp.float32), ((0, 0), (0, dp - dim)))  # (n, dp)
+    Dp = (
+        jnp.pad(D.astype(jnp.float32), (0, dp - dim))[None]
+        if D is not None else jnp.zeros((1, dp), jnp.float32)
+    )
+    biasp = (
+        jnp.pad(delta_bias.astype(jnp.float32), (0, dp - dim))[None]
+        if delta_bias is not None else jnp.zeros((1, dp), jnp.float32)
+    )
+    return At, Dp, biasp
+
+
+def _specs(chunk, dtile, dstate, nchunks, has_z, reverse):
+    def ld(b, di, li):
+        return (b, nchunks - 1 - li, di) if reverse else (b, li, di)
+
+    def ln(b, di, li):
+        return (b, nchunks - 1 - li, 0) if reverse else (b, li, 0)
+
+    ld_spec = pl.BlockSpec((1, chunk, dtile), ld, memory_space=pltpu.VMEM)
+    ln_spec = pl.BlockSpec((1, chunk, dstate), ln, memory_space=pltpu.VMEM)
+    z_spec = (
+        ld_spec if has_z
+        else pl.BlockSpec((1, 1, dtile), lambda b, di, li: (b, 0, di),
+                          memory_space=pltpu.VMEM)
+    )
+    a_spec = pl.BlockSpec((dstate, dtile), lambda b, di, li: (0, di),
+                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, dtile), lambda b, di, li: (0, di),
+                            memory_space=pltpu.VMEM)
+    states_spec = pl.BlockSpec(
+        (1, 1, dstate, dtile),
+        (lambda b, di, li: (b, nchunks - 1 - li, 0, di)) if reverse
+        else (lambda b, di, li: (b, li, 0, di)),
+        memory_space=pltpu.VMEM,
+    )
+    return ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec
+
+
+_COMPILER_PARAMS = dict(
+    dimension_semantics=("parallel", "parallel", "arbitrary"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _scan_core(u, delta, A, B, C, D, z, delta_bias,
+               softplus: bool, chunk: int, dtile: int, interpret: bool):
+    out, _, last = _scan_fwd_impl(
+        u, delta, A, B, C, D, z, delta_bias, softplus, chunk, dtile, interpret
+    )
+    return out, last
+
+
+def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
+                   softplus, chunk, dtile, interpret):
+    batch, seqlen, dim = u.shape
+    dstate = A.shape[1]
+    has_d, has_z = D is not None, z is not None
+
+    up, deltap, Bp, Cp, zp, _, lp, dp = _pad_args(u, delta, B, C, z, None, chunk, dtile)
+    nchunks, ndt = lp // chunk, dp // dtile
+    At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
+    if zp is None:
+        zp = jnp.zeros((batch, 1, dp), u.dtype)  # dummy, never read
+
+    ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec = _specs(
+        chunk, dtile, dstate, nchunks, has_z, reverse=False
+    )
+    last_spec = pl.BlockSpec((1, dstate, dtile), lambda b, di, li: (b, 0, di),
+                             memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _fwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
+        nchunks=nchunks, chunk=chunk, seqlen=seqlen,
+    )
+    out, states, last = pl.pallas_call(
+        kernel,
+        grid=(batch, ndt, nchunks),
+        in_specs=[ld_spec, ld_spec, a_spec, ln_spec, ln_spec, vec_spec, z_spec,
+                  vec_spec],
+        out_specs=[ld_spec, states_spec, last_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, lp, dp), u.dtype),
+            jax.ShapeDtypeStruct((batch, nchunks, dstate, dp), jnp.float32),
+            jax.ShapeDtypeStruct((batch, dstate, dp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((dstate, dtile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
+        interpret=interpret,
+    )(up, deltap, At, Bp, Cp, Dp, zp, biasp)
+
+    out = out[:, :seqlen, :dim]
+    last_state = jnp.swapaxes(last, 1, 2)[:, :dim]  # (batch, dim, dstate)
+    return out, states, last_state
+
+
+def _scan_core_fwd(u, delta, A, B, C, D, z, delta_bias,
+                   softplus, chunk, dtile, interpret):
+    out, states, last = _scan_fwd_impl(
+        u, delta, A, B, C, D, z, delta_bias, softplus, chunk, dtile, interpret
+    )
+    return (out, last), (u, delta, A, B, C, D, z, delta_bias, states)
+
+
+def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
+    u, delta, A, B, C, D, z, delta_bias, states = residuals
+    g, _g_last = cotangents  # last-state grad not propagated (reference parity,
+    # selective_scan_interface.py:79-82)
+
+    batch, seqlen, dim = u.shape
+    dstate = A.shape[1]
+    has_d, has_z = D is not None, z is not None
+
+    up, deltap, Bp, Cp, zp, gp, lp, dp = _pad_args(
+        u, delta, B, C, z, g.astype(jnp.float32), chunk, dtile
+    )
+    nchunks, ndt = lp // chunk, dp // dtile
+    At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
+    if zp is None:
+        zp = jnp.zeros((batch, 1, dp), u.dtype)
+
+    ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec = _specs(
+        chunk, dtile, dstate, nchunks, has_z, reverse=True
+    )
+    # per-batch accumulators (consecutive revisits only within one (b, di))
+    acc_nd = pl.BlockSpec((1, dstate, dtile), lambda b, di, li: (b, 0, di),
+                          memory_space=pltpu.VMEM)
+    acc_vec = pl.BlockSpec((1, 1, dtile), lambda b, di, li: (b, 0, di),
+                           memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _bwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
+        nchunks=nchunks, chunk=chunk, seqlen=seqlen,
+    )
+    du, ddelta, dA_bt, dB, dC, dD_b, dz, dbias_b = pl.pallas_call(
+        kernel,
+        grid=(batch, ndt, nchunks),
+        in_specs=[ld_spec, ld_spec, a_spec, ln_spec, ln_spec, vec_spec, z_spec,
+                  vec_spec, states_spec, ld_spec],
+        out_specs=[ld_spec, ld_spec, acc_nd, ln_spec, ln_spec, acc_vec,
+                   ld_spec, acc_vec],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # du
+            jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # ddelta
+            jax.ShapeDtypeStruct((batch, dstate, dp), jnp.float32),  # dA per-b
+            jax.ShapeDtypeStruct((batch, lp, dstate), jnp.float32),  # dB
+            jax.ShapeDtypeStruct((batch, lp, dstate), jnp.float32),  # dC
+            jax.ShapeDtypeStruct((batch, 1, dp), jnp.float32),       # dD per-b
+            jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # dz
+            jax.ShapeDtypeStruct((batch, 1, dp), jnp.float32),       # dbias per-b
+        ],
+        scratch_shapes=[pltpu.VMEM((dstate, dtile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
+        interpret=interpret,
+    )(up, deltap, At, Bp, Cp, Dp, zp, biasp, states, gp)
+
+    du = du[:, :seqlen, :dim].astype(u.dtype)
+    ddelta = ddelta[:, :seqlen, :dim].astype(delta.dtype)
+    dA = jnp.sum(dA_bt, axis=0)[:, :dim].T.astype(A.dtype)
+    dB = dB[:, :seqlen].astype(B.dtype)
+    dC = dC[:, :seqlen].astype(C.dtype)
+    dD = jnp.sum(dD_b, axis=(0, 1))[:dim].astype(D.dtype) if has_d else None
+    dz = dz[:, :seqlen, :dim].astype(z.dtype) if has_z else None
+    dbias = (
+        jnp.sum(dbias_b, axis=(0, 1))[:dim].astype(delta_bias.dtype)
+        if delta_bias is not None else None
+    )
+    return (du, ddelta, dA, dB, dC, dD, dz, dbias)
+
+
+_scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
+
+
+def selective_scan_pallas(
+    u: jax.Array,
+    delta: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    C: jax.Array,
+    D: Optional[jax.Array] = None,
+    z: Optional[jax.Array] = None,
+    delta_bias: Optional[jax.Array] = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+    chunk: int = DEFAULT_CHUNK,
+    dtile: int = DEFAULT_DTILE,
+    interpret: Optional[bool] = None,
+):
+    """Pallas production path. Real A, per-step B/C (batch, seqlen, dstate)
+    only — the shape family every Mamba module uses (grouped B/C must be
+    expanded by the caller)."""
+    if B.ndim == 4:
+        if B.shape[2] != 1:
+            raise NotImplementedError("grouped B/C: expand before the kernel")
+        B = B[:, :, 0]
+    if C.ndim == 4:
+        if C.shape[2] != 1:
+            raise NotImplementedError("grouped B/C: expand before the kernel")
+        C = C[:, :, 0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    chunk = min(chunk, _round_up(u.shape[1], 8))
+    out, last = _scan_core(
+        u, delta, A, B, C, D, z, delta_bias,
+        delta_softplus, chunk, dtile, interpret,
+    )
+    if return_last_state:
+        return out, lax.stop_gradient(last)
+    return out

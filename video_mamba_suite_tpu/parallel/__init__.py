@@ -1,0 +1,19 @@
+"""Mesh-parallel execution: device meshes, sharded train steps, ring scan.
+
+TPU-native replacement for the reference's four separate torch.distributed/
+NCCL/DataParallel stacks (SURVEY.md §2.4): one `jax.sharding.Mesh` with named
+axes ('data', 'seq'), pjit-sharded training steps, and a sequence-parallel
+ring selective scan over the 'seq' axis (the scan analogue of ring attention,
+which the reference lacks entirely).
+"""
+
+from .mesh import make_mesh, shard_batch, replicate_params, data_parallel_sharding
+from .ring_scan import ring_selective_scan
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate_params",
+    "data_parallel_sharding",
+    "ring_selective_scan",
+]
