@@ -1,0 +1,249 @@
+"""Shared model components for the task suites (time-major (B, L, C) layout).
+
+TPU re-implementations of the building blocks the reference task suites share:
+masked convs / LayerNorm / (Affine)DropPath (TAL libs/modeling/blocks.py),
+MaskMambaBlock (blocks.py:901-976, also used by TAS), sliding-window local
+attention (TAS model.py:133-171), sinusoidal positions, and MLP heads.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import layer_norm
+from .mamba import MambaDBM, MambaVim, torch_linear_init
+
+
+# ---------------------------------------------------------------------------
+# regularization
+
+
+class DropPath(nn.Module):
+    """Stochastic depth on the batch dim (blocks.py drop_path)."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: Optional[bool] = None):
+        det = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if det or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class AffineDropPath(nn.Module):
+    """DropPath with a learnable per-channel scale, init 1e-4
+    (TAL blocks.py AffineDropPath; used by MaskMambaBlock)."""
+
+    dim: int
+    rate: float = 0.0
+    init_scale: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        scale = self.param(
+            "scale",
+            lambda k, s: jnp.full(s, self.init_scale, jnp.float32),
+            (1, 1, self.dim),
+        )
+        return DropPath(rate=self.rate)(x * scale, deterministic=deterministic)
+
+
+# ---------------------------------------------------------------------------
+# masked primitives
+
+
+class MaskedConv1D(nn.Module):
+    """1-D conv over time with output re-masking (TAL blocks.py MaskedConv1D).
+    x (B, L, C), mask (B, L) float/bool → (out, out_mask)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, mask):
+        m = mask.astype(x.dtype)[..., None]
+        x = x * m
+        pad = self.dilation * (self.kernel_size - 1) // 2
+        out = nn.Conv(
+            self.features, (self.kernel_size,), strides=(self.stride,),
+            padding=[(pad, self.dilation * (self.kernel_size - 1) - pad)],
+            kernel_dilation=(self.dilation,), use_bias=self.use_bias,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+        )(x)
+        if self.stride > 1:
+            out_mask = mask[:, :: self.stride]
+        else:
+            out_mask = mask
+        out = out * out_mask.astype(out.dtype)[..., None]
+        return out, out_mask
+
+
+class LayerNorm1D(nn.Module):
+    """LayerNorm over channels with learnable affine (fp32 math)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("norm_w", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("norm_b", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return layer_norm(x, w, b, eps=self.eps)
+
+
+def instance_norm_1d(x: jax.Array, mask: Optional[jax.Array] = None,
+                     eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm1d(affine=False) on (B, L, C): normalize each channel over
+    time per sample (TAS model.py:219). With `mask` (B, L), statistics use
+    valid positions only, so padded batches match unpadded ones exactly (the
+    reference normalizes over pads — wrong under static-shape bucketing)."""
+    xf = x.astype(jnp.float32)
+    if mask is None:
+        mean = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.var(xf, axis=1, keepdims=True)
+    else:
+        m = mask.astype(jnp.float32)[..., None]
+        cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        mean = jnp.sum(xf * m, axis=1, keepdims=True) / cnt
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=1, keepdims=True) / cnt
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def max_pool_1d(x: jax.Array, mask: jax.Array, kernel: int = 3, stride: int = 2,
+                padding: int = 1) -> Tuple[jax.Array, jax.Array]:
+    """MaxPooler (TAS/TAL blocks.py): pool time, nearest-downsample mask."""
+    out = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, kernel, 1), window_strides=(1, stride, 1),
+        padding=((0, 0), (padding, padding), (0, 0)),
+    )
+    out_mask = mask[:, ::stride][:, : out.shape[1]]
+    out = out * out_mask.astype(out.dtype)[..., None]
+    return out, out_mask
+
+
+# ---------------------------------------------------------------------------
+# Mamba blocks with masking
+
+
+class MaskMambaBlock(nn.Module):
+    """norm → Mamba → mask → residual via AffineDropPath (+optional maxpool)
+    (TAS/TAL blocks.py:901-976). mixer: 'vim' (MaskMambaBlock) or 'dbm'
+    (MaskMambaBlock_DBM, expand=1)."""
+
+    dim: int
+    mixer: str = "vim"
+    kernel_size: int = 4
+    n_ds_stride: int = 1
+    drop_path_rate: float = 0.3
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        res = x
+        h = LayerNorm1D(self.dim)(x)
+        if self.mixer == "vim":
+            h = MambaVim(
+                d_model=self.dim, d_conv=self.kernel_size, impl=self.impl,
+                name="mamba",
+            )(h, mask)
+        elif self.mixer == "dbm":
+            h = MambaDBM(
+                d_model=self.dim, d_conv=self.kernel_size, expand=1,
+                impl=self.impl, name="mamba",
+            )(h, mask)
+        else:
+            raise ValueError(self.mixer)
+        h = h * mask.astype(h.dtype)[..., None]
+        if self.drop_path_rate > 0:
+            h = AffineDropPath(self.dim, rate=self.drop_path_rate)(
+                h, deterministic=deterministic
+            )
+        x = res + h
+        if self.n_ds_stride > 1:
+            x, mask = max_pool_1d(x, mask, 3, self.n_ds_stride, 1)
+        return x, mask
+
+
+# ---------------------------------------------------------------------------
+# local (sliding-window) attention — the ASFormer decoder primitive
+
+
+def _log_mask(mask: jax.Array) -> jax.Array:
+    return jnp.log(mask.astype(jnp.float32) + 1e-6)
+
+
+def sliding_window_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array, bl: int
+) -> jax.Array:
+    """ASFormer 'sliding_att' (TAS model.py:133-171), vectorized over blocks.
+
+    q (B, L, dq), k (B, L, dq), v (B, L, dv), mask (B, L) → (B, L, dv).
+    Each query block of size bl attends to a window [i·bl − bl//2,
+    (i+1)·bl + bl//2), with per-row window masking exactly as the reference's
+    `construct_window_mask` (model.py:67-74).
+    """
+    B, L, dq = q.shape
+    dv = v.shape[-1]
+    nb = -(-L // bl)
+    pad_l = nb * bl - L
+    half = bl // 2
+    win = bl + 2 * half  # reference window width
+
+    qp = jnp.pad(q, ((0, 0), (0, pad_l), (0, 0)))
+    # pad so total length is (nb+1)*bl: 'half' on the left, the rest right —
+    # every window [i·bl, i·bl + win) then lies inside blocks i and i+1
+    right = (nb + 1) * bl - L - half
+    kp = jnp.pad(k, ((0, 0), (half, right), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (half, right), (0, 0)))
+    mp = jnp.pad(mask.astype(jnp.float32), ((0, 0), (half, right)))
+
+    qb = qp.reshape(B, nb, bl, dq)
+
+    def windows(x):
+        # (B, (nb+1)·bl, c) → (B, nb, 2·bl, c) → slice to win
+        c = x.shape[-1]
+        blocks = x.reshape(B, nb + 1, bl, c)
+        two = jnp.concatenate([blocks[:, :nb], blocks[:, 1:]], axis=2)
+        return two[:, :, :win]
+
+    kb = windows(kp)                       # (B, nb, win, dq)
+    vb = windows(vp)                       # (B, nb, win, dv)
+    mb = windows(mp[..., None])[..., 0]    # (B, nb, win)
+
+    # per-row window mask: query row r sees window cols [r, r + bl)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bl, win), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bl, win), 1)
+    wmask = ((cols >= rows) & (cols < rows + bl)).astype(jnp.float32)
+
+    scores = jnp.einsum("bnqc,bnwc->bnqw", qb, kb) / math.sqrt(dq)
+    full_mask = wmask[None, None] * mb[:, :, None, :]
+    scores = scores + _log_mask(full_mask)
+    attn = jax.nn.softmax(scores, axis=-1) * full_mask
+    out = jnp.einsum("bnqw,bnwc->bnqc", attn, vb)
+    out = out.reshape(B, nb * bl, dv)[:, :L]
+    return out * mask.astype(out.dtype)[..., None]
+
+
+def sinusoid_positions(length: int, dim: int) -> jax.Array:
+    """Standard sin/cos table (TAS PositionalEncoding, model.py:252-269).
+    dim must be even."""
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32) * -(math.log(10000.0) / dim))
+    pe = jnp.zeros((length, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe

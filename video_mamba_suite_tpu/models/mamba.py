@@ -143,11 +143,13 @@ class _ScanParams(nn.Module):
         )
         self.D = self.param("D", nn.initializers.ones, (self.d_inner,), jnp.float32)
 
-    def __call__(self, xz: jax.Array, impl: str = "auto") -> jax.Array:
+    def __call__(self, xz: jax.Array, impl: str = "auto",
+                 mask: Optional[jax.Array] = None) -> jax.Array:
         A = -jnp.exp(self.A_log)
         return mamba_inner(
             xz, self.conv_w, self.conv_b, self.x_proj, self.dt_proj,
-            A, D=self.D, delta_bias=self.dt_bias, delta_softplus=True, impl=impl,
+            A, D=self.D, delta_bias=self.dt_bias, delta_softplus=True,
+            impl=impl, mask=mask,
         )
 
 
@@ -213,10 +215,12 @@ class MambaVim(_MambaBase):
             param_dtype=self.param_dtype, name="out_proj",
         )
 
-    def __call__(self, hidden_states: jax.Array) -> jax.Array:
+    def __call__(self, hidden_states: jax.Array,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
         xz = self.in_proj(hidden_states)                      # (b, l, 2*d_in)
-        out_f = self.fwd(xz, impl=self.impl)
-        out_b = self.bwd(jnp.flip(xz, axis=1), impl=self.impl)
+        mask_b = jnp.flip(mask, axis=1) if mask is not None else None
+        out_f = self.fwd(xz, impl=self.impl, mask=mask)
+        out_b = self.bwd(jnp.flip(xz, axis=1), impl=self.impl, mask=mask_b)
         out = out_f + jnp.flip(out_b, axis=1)
         if self.if_devide_out:
             out = out / 2
@@ -244,12 +248,14 @@ class MambaDBM(_MambaBase):
             param_dtype=self.param_dtype, name="out_proj",
         )
 
-    def __call__(self, hidden_states: jax.Array) -> jax.Array:
+    def __call__(self, hidden_states: jax.Array,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
         d_in = self.d_inner
         xz = self.in_proj(hidden_states)                      # (b, l, 4*d_in)
         xz_f, xz_b = xz[..., : 2 * d_in], xz[..., 2 * d_in :]
-        out_f = self.shared(xz_f, impl=self.impl)
-        out_b = self.shared(jnp.flip(xz_b, axis=1), impl=self.impl)
+        mask_b = jnp.flip(mask, axis=1) if mask is not None else None
+        out_f = self.shared(xz_f, impl=self.impl, mask=mask)
+        out_b = self.shared(jnp.flip(xz_b, axis=1), impl=self.impl, mask=mask_b)
         out = jnp.concatenate([out_f, jnp.flip(out_b, axis=1)], axis=-1)
         return self.out_proj(out)
 
@@ -274,10 +280,12 @@ class MambaScanNorm(_MambaBase):
             param_dtype=self.param_dtype, name="out_proj",
         )
 
-    def __call__(self, hidden_states: jax.Array) -> jax.Array:
+    def __call__(self, hidden_states: jax.Array,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
         xz = self.in_proj(hidden_states)
-        out_f = self.fwd(xz, impl=self.impl)
-        out_b = self.bwd(jnp.flip(xz, axis=1), impl=self.impl)
+        mask_b = jnp.flip(mask, axis=1) if mask is not None else None
+        out_f = self.fwd(xz, impl=self.impl, mask=mask)
+        out_b = self.bwd(jnp.flip(xz, axis=1), impl=self.impl, mask=mask_b)
         out = rms_norm(out_f + jnp.flip(out_b, axis=1), self.scan_norm_w)
         return self.out_proj(out)
 

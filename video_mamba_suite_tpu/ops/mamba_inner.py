@@ -23,6 +23,9 @@ from .causal_conv1d import causal_conv1d
 from .selective_scan import selective_scan
 
 
+MASKED_DELTA = -1e4  # softplus(-1e4 + bias) == 0 ⇒ identity scan element
+
+
 def mamba_inner(
     xz: jax.Array,
     conv_weight: jax.Array,
@@ -36,6 +39,7 @@ def mamba_inner(
     out_proj_weight: Optional[jax.Array] = None,
     out_proj_bias: Optional[jax.Array] = None,
     impl: str = "auto",
+    mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Run the full Mamba mixer body on one direction.
 
@@ -51,6 +55,12 @@ def mamba_inner(
       out_proj_weight: optional (d_inner, d_model) to fuse the output proj
         (reference `mamba_inner_fn`); if None, returns pre-projection output
         (reference `mamba_inner_fn_no_out_proj`).
+      mask: optional (batch, seqlen) validity mask. Masked timesteps become
+        identity scan elements (dt forced to 0 through the softplus), so
+        outputs at valid positions are exactly invariant to padding content
+        and length — a property the reference kernels lack (they integrate
+        pad positions through the backward-direction scan) but which TPU
+        static-shape bucketing requires (SURVEY.md §7 hard part c).
 
     Returns:
       (batch, seqlen, d_inner) if out_proj_weight is None else
@@ -59,6 +69,8 @@ def mamba_inner(
     d_inner = xz.shape[-1] // 2
     dt_rank = dt_proj_weight.shape[0]
     d_state = A.shape[1]
+    if mask is not None:
+        xz = xz * mask.astype(xz.dtype)[..., None]
     x, z = xz[..., :d_inner], xz[..., d_inner:]
 
     x = causal_conv1d(x, conv_weight, conv_bias, activation="silu")
@@ -68,6 +80,8 @@ def mamba_inner(
     B = x_dbl[..., dt_rank : dt_rank + d_state]
     C = x_dbl[..., dt_rank + d_state :]
     dt = jnp.dot(dt, dt_proj_weight.astype(dt.dtype))  # (b, l, d_inner)
+    if mask is not None:
+        dt = jnp.where(mask[..., None] > 0, dt, MASKED_DELTA)
 
     y = selective_scan(
         x, dt, A, B, C, D=D, z=z,
