@@ -1,0 +1,138 @@
+"""Vision backbones (ViViM, TimeMamba), CLIP dual encoder, losses, metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_mamba_suite_tpu.models.clip import CLIP, TextTransformer
+from video_mamba_suite_tpu.models.timemamba import TimeMamba
+from video_mamba_suite_tpu.models.vivim import ViViM
+from video_mamba_suite_tpu.tasks.egocentric import (
+    calculate_mAP,
+    calculate_nDCG,
+    clip_loss,
+    create_relevancy_matrix,
+    max_margin_ranking_loss,
+    sharded_clip_loss,
+)
+from video_mamba_suite_tpu.tasks.egocentric.metrics import get_mAP, get_nDCG
+from video_mamba_suite_tpu.tasks.recognition import (
+    merge_multi_view,
+    mixup_cutmix,
+    topk_accuracy,
+)
+
+
+def test_vivim_shapes():
+    model = ViViM(img_size=32, patch_size=16, num_frames=2, depth=2,
+                  embed_dim=32, output_dim=16, impl="assoc")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(1)}, x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 16)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_vivim_bidirectional_and_classifier():
+    model = ViViM(img_size=32, patch_size=16, num_frames=2, depth=2,
+                  embed_dim=32, num_classes=7, if_bidirectional=True,
+                  impl="assoc")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(1)}, x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 7)
+
+
+def test_timemamba_shapes():
+    model = TimeMamba(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                      num_heads=4, num_frames=2, output_dim=16, impl="assoc")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(1)}, x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 16)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_clip_forward_and_loss():
+    model = CLIP(
+        embed_dim=16, vision_tower="vivim",
+        vision_cfg=dict(img_size=32, patch_size=16, num_frames=2, depth=2,
+                        embed_dim=32, impl="assoc"),
+        text_cfg=dict(context_length=8, vocab_size=100, width=32, heads=4,
+                      layers=2),
+    )
+    videos = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 32, 32, 3))
+    texts = jax.random.randint(jax.random.PRNGKey(1), (3, 8), 0, 100)
+    params = model.init({"params": jax.random.PRNGKey(2)}, videos, texts)
+    img, txt, scale = model.apply(params, videos, texts)
+    assert img.shape == (3, 16) and txt.shape == (3, 16)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(img), axis=-1), 1.0, rtol=1e-4
+    )
+    loss = clip_loss(img, txt, scale)
+    assert bool(jnp.isfinite(loss))
+
+
+def test_clip_loss_perfect_alignment():
+    f = jax.nn.one_hot(jnp.arange(4), 8)
+    loss = clip_loss(f, f, jnp.asarray(100.0))
+    assert float(loss) < 1e-3
+    # shuffled pairing → big loss
+    loss_bad = clip_loss(f, f[::-1], jnp.asarray(100.0))
+    assert float(loss_bad) > 10
+
+
+def test_sharded_clip_loss_matches_plain():
+    from video_mamba_suite_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, axes=("data",))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    img = jax.random.normal(k1, (16, 8))
+    txt = jax.random.normal(k2, (16, 8))
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    scale = jnp.asarray(10.0)
+    plain = clip_loss(img, txt, scale)
+    sharded = sharded_clip_loss(mesh, img, txt, scale)
+    np.testing.assert_allclose(float(sharded), float(plain), rtol=1e-5)
+
+
+def test_max_margin_ranking():
+    sim = jnp.eye(4) * 1.0  # perfect: diag 1, off-diag 0, margin 0.2 → 0 loss
+    assert float(max_margin_ranking_loss(sim, margin=0.2)) == 0.0
+    sim_bad = jnp.ones((4, 4))
+    assert float(max_margin_ranking_loss(sim_bad, margin=0.2)) > 0
+
+
+def test_mir_metrics_perfect_retrieval():
+    classes = np.array([0, 1, 2, 0])
+    rel = create_relevancy_matrix(classes, classes)
+    sim = rel + 0.01 * np.random.default_rng(0).standard_normal(rel.shape)
+    v, t, avg = get_mAP(sim, rel)
+    assert avg > 0.99
+    v2, t2, avg2 = get_nDCG(sim, rel)
+    assert avg2 > 0.99
+    # anti-correlated similarity → low mAP
+    v3, _, avg3 = get_mAP(-sim, rel)
+    assert avg3 < avg
+
+
+def test_mixup_cutmix_targets_sum_to_one():
+    rng = jax.random.PRNGKey(0)
+    videos = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 16, 16, 3))
+    labels = jnp.array([0, 1, 2, 3])
+    mixed, targets = mixup_cutmix(rng, videos, labels, num_classes=5,
+                                  smoothing=0.1)
+    assert mixed.shape == videos.shape
+    np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_multi_view_merge_and_topk():
+    probs = np.array([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4], [0.3, 0.7]])
+    vids = np.array([0, 0, 1, 1])
+    uniq, merged = merge_multi_view(probs, vids)
+    assert merged.shape == (2, 2)
+    np.testing.assert_allclose(merged[0], [0.55, 0.45])
+    acc = topk_accuracy(merged, np.array([0, 1]), ks=(1,))
+    assert acc["top1"] == 100.0

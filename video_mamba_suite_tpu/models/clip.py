@@ -1,0 +1,173 @@
+"""CLIP dual encoder: video tower (TimeMamba / ViViM) × text transformer.
+
+Reference: /root/reference/video-mamba-suite/egocentric-understanding/
+avion/models/model_clip.py:46-107 (CLIP wrapper + logit scale), builders
+CLIP_TimeMamba_like_timesformer (:721), CLIP_ViViM_{tiny,small} (:860, :1028);
+avion/models/transformer.py:378-480 (CLIP text transformer: token+pos embed,
+causal pre-LN blocks, ln_final, eot-token pooling).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .timemamba import Mlp, TimeMamba
+from .vivim import ViViM
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block (transformer.py ResidualAttentionBlock)."""
+
+    width: int
+    heads: int
+    causal: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        L = x.shape[1]
+        mask = None
+        if self.causal:
+            mask = nn.make_causal_mask(jnp.zeros((x.shape[0], L)))
+        h = nn.LayerNorm(name="ln_1")(x)
+        x = x + nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, deterministic=deterministic, name="attn",
+        )(h, h, mask=mask)
+        h = nn.LayerNorm(name="ln_2")(x)
+        x = x + Mlp(4 * self.width, self.width, name="mlp")(
+            h, deterministic=deterministic
+        )
+        return x
+
+
+class TextTransformer(nn.Module):
+    """CLIP text tower (transformer.py:378-480)."""
+
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    output_dim: Optional[int] = 512
+    causal_mask: bool = True
+
+    @nn.compact
+    def __call__(self, text, deterministic: bool = True):
+        """text (B, L) int32 token ids → (B, output_dim). Pooled at the
+        argmax (eot) token as CLIP does."""
+        x = nn.Embed(
+            self.vocab_size, self.width,
+            embedding_init=nn.initializers.normal(0.02), name="token_embedding",
+        )(text)
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (self.context_length, self.width),
+        )
+        x = x + pos[: x.shape[1]].astype(x.dtype)
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                self.width, self.heads, causal=self.causal_mask,
+                name=f"resblock{i}",
+            )(x, deterministic=deterministic)
+        x = nn.LayerNorm(name="ln_final")(x)
+        eot = jnp.argmax(text, axis=-1)
+        x = x[jnp.arange(x.shape[0]), eot]
+        if self.output_dim is not None:
+            proj = self.param(
+                "text_projection", nn.initializers.normal(self.width ** -0.5),
+                (self.width, self.output_dim),
+            )
+            x = x @ proj.astype(x.dtype)
+        return x
+
+
+class CLIP(nn.Module):
+    """Dual encoder with learnable temperature (model_clip.py:46-105).
+
+    `vision_cfg`: dict of tower kwargs; `vision_tower`: 'timemamba' | 'vivim'.
+    Towers project to embed_dim internally (output_dim=embed_dim).
+    """
+
+    embed_dim: int = 512
+    vision_tower: str = "timemamba"
+    vision_cfg: Any = None
+    text_cfg: Any = None
+    freeze_temperature: bool = False
+
+    def setup(self):
+        vc = dict(self.vision_cfg or {})
+        vc.setdefault("output_dim", self.embed_dim)
+        if self.vision_tower == "timemamba":
+            self.visual = TimeMamba(**vc, name="visual")
+        elif self.vision_tower == "vivim":
+            self.visual = ViViM(**vc, name="visual")
+        else:
+            raise ValueError(self.vision_tower)
+        tc = dict(self.text_cfg or {})
+        tc.setdefault("output_dim", self.embed_dim)
+        self.textual = TextTransformer(**tc, name="textual")
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda k, s: jnp.full(s, math.log(1 / 0.07), jnp.float32), (),
+        )
+
+    def encode_image(self, image, deterministic: bool = True):
+        return self.visual(image, deterministic=deterministic)
+
+    def encode_text(self, text, deterministic: bool = True):
+        return self.textual(text, deterministic=deterministic)
+
+    def __call__(self, image, text, deterministic: bool = True):
+        img = self.encode_image(image, deterministic)
+        txt = self.encode_text(text, deterministic)
+        img = img / jnp.maximum(
+            jnp.linalg.norm(img, axis=-1, keepdims=True), 1e-8
+        )
+        txt = txt / jnp.maximum(
+            jnp.linalg.norm(txt, axis=-1, keepdims=True), 1e-8
+        )
+        scale = jnp.exp(self.logit_scale)
+        if self.freeze_temperature:
+            scale = jax.lax.stop_gradient(scale)
+        return img, txt, scale
+
+
+def clip_timemamba_base(num_frames: int = 4, project_embed_dim: int = 512,
+                        **kw) -> CLIP:
+    """CLIP_TimeMamba_like_timesformer (model_clip.py:721): ViT-B/16 spatial
+    tower with Mamba time adapters + CLIP text-B."""
+    return CLIP(
+        embed_dim=project_embed_dim,
+        vision_tower="timemamba",
+        vision_cfg=dict(
+            embed_dim=768, depth=12, num_heads=12, num_frames=num_frames,
+            ln_pre=True, **kw,
+        ),
+        text_cfg=dict(width=512, heads=8, layers=12),
+    )
+
+
+def clip_vivim_tiny(num_frames: int = 16, project_embed_dim: int = 512) -> CLIP:
+    """CLIP_ViViM_tiny (model_clip.py:860)."""
+    return CLIP(
+        embed_dim=project_embed_dim,
+        vision_tower="vivim",
+        vision_cfg=dict(embed_dim=192, depth=24, num_frames=num_frames,
+                        if_devide_out=True),
+        text_cfg=dict(width=512, heads=8, layers=12),
+    )
+
+
+def clip_vivim_small(num_frames: int = 16, project_embed_dim: int = 512) -> CLIP:
+    """CLIP_ViViM_small (model_clip.py:1028)."""
+    return CLIP(
+        embed_dim=project_embed_dim,
+        vision_tower="vivim",
+        vision_cfg=dict(embed_dim=384, depth=24, num_frames=num_frames,
+                        if_devide_out=True),
+        text_cfg=dict(width=512, heads=8, layers=12),
+    )

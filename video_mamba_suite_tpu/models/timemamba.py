@@ -1,0 +1,157 @@
+"""TimeMamba: CLIP-ViT with Mamba temporal adapters (TimeSformer-style).
+
+Reference: /root/reference/video-mamba-suite/egocentric-understanding/
+avion/models/timemamba.py — SpaceTimeBlock (:98-178): per patch position a
+ViM Mamba (expand=1) mixes over time, then spatial MHA over patches within
+each frame (cls token broadcast per frame and averaged back), then MLP;
+TimeMamba backbone (:180-434): per-frame patch embed, shared spatial pos
+embed, token layout (B, 1 + N·T, D) with cls first and patch-major
+(n t) time-minor ordering, 'frozen-in-time' residual style.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import DropPath
+from .mamba import MambaVim
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out, name="fc2")(x)
+        return nn.Dropout(self.drop)(x, deterministic=deterministic)
+
+
+class SpaceTimeBlock(nn.Module):
+    """timemamba.py:98-178, attention_style='frozen-in-time'."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    drop_path: float = 0.0
+    is_tanh_gating: bool = False
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, time_n: int, space_f: int, deterministic: bool = True):
+        """x (B, 1 + n·t, D) with layout [cls; (n t)] (patch-major)."""
+        B = x.shape[0]
+        D = self.dim
+        n, t = time_n, space_f
+        init_cls = x[:, :1]
+        res_x = x
+        h = x[:, 1:]
+
+        # --- temporal Mamba per patch position (:130-141)
+        ht = h.reshape(B * n, t, D)
+        ht_n = nn.LayerNorm(name="norm3")(ht)
+        time_out = MambaVim(d_model=D, expand=1, impl=self.impl,
+                            name="time_mamba")(ht_n)
+        if self.is_tanh_gating:
+            alpha = self.param("alpha_timeattn", nn.initializers.zeros, ())
+            time_out = jnp.tanh(alpha) * time_out
+        time_residual = ht + time_out                    # (B·n, t, D)
+        time_residual = time_residual.reshape(B, n * t, D)
+
+        # --- spatial attention per frame with broadcast cls (:148-170)
+        cls_rep = jnp.repeat(init_cls, t, axis=1).reshape(B * t, 1, D)
+        xs = time_residual.reshape(B, n, t, D).transpose(0, 2, 1, 3)
+        xs = xs.reshape(B * t, n, D)
+        xs = jnp.concatenate([cls_rep, xs], axis=1)      # (B·t, 1+n, D)
+        xs_n = nn.LayerNorm(name="norm1")(xs)
+        space_out = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, name="attn",
+            deterministic=deterministic,
+        )(xs_n, xs_n)
+        cls_out = space_out[:, 0].reshape(B, t, D).mean(axis=1, keepdims=True)
+        patch_out = space_out[:, 1:].reshape(B, t, n, D).transpose(0, 2, 1, 3)
+        patch_out = patch_out.reshape(B, n * t, D)
+
+        # frozen-in-time: x = res_x + [cls_mean; space_output] (:172)
+        x = res_x + jnp.concatenate([cls_out, patch_out], axis=1)
+        mlp_out = Mlp(int(D * self.mlp_ratio), D, self.drop, name="mlp")(
+            nn.LayerNorm(name="norm2")(x), deterministic=deterministic
+        )
+        x = x + DropPath(rate=self.drop_path)(mlp_out, deterministic=deterministic)
+        return x
+
+
+class TimeMamba(nn.Module):
+    """Video encoder (timemamba.py:180-434). Input (B, T, H, W, C)."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_frames: int = 8
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    ln_pre: bool = False            # CLIP-style pre-LN variant
+    is_tanh_gating: bool = False
+    output_dim: Optional[int] = 512
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, T, H, W, C = x.shape
+        p = self.patch_size
+        feat = nn.Conv(
+            self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+            use_bias=not self.ln_pre, name="patch_embed",
+        )(x.reshape(B * T, H, W, C))
+        BT, hh, ww, D = feat.shape
+        n = hh * ww
+        feat = feat.reshape(BT, n, D)
+
+        cls = self.param("cls_token", nn.initializers.truncated_normal(0.02),
+                         (1, 1, D)).astype(feat.dtype)
+        feat = jnp.concatenate([jnp.tile(cls, (BT, 1, 1)), feat], axis=1)
+        pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
+                         (1, n + 1, D))
+        feat = feat + pos.astype(feat.dtype)
+
+        # layout: keep batch-0 cls, patches to (B, (n t), D) (:357-362)
+        cls_tokens = feat[:B, :1]
+        patches = feat[:, 1:].reshape(B, T, n, D).transpose(0, 2, 1, 3)
+        patches = patches.reshape(B, n * T, D)
+        h = jnp.concatenate([cls_tokens, patches], axis=1)
+        if self.ln_pre:
+            h = nn.LayerNorm(name="ln_pre")(h)
+        h = nn.Dropout(self.drop_rate)(h, deterministic=deterministic)
+
+        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
+               for i in range(self.depth)]
+        for i in range(self.depth):
+            h = SpaceTimeBlock(
+                dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                drop=self.drop_rate, drop_path=dpr[i],
+                is_tanh_gating=self.is_tanh_gating, impl=self.impl,
+                name=f"block{i}",
+            )(h, time_n=n, space_f=T, deterministic=deterministic)
+
+        h = nn.LayerNorm(name="norm")(h)[:, 0]           # cls at last (:377)
+        if self.output_dim is not None:
+            proj = self.param(
+                "image_projection",
+                nn.initializers.normal(self.embed_dim ** -0.5),
+                (self.embed_dim, self.output_dim),
+            )
+            h = h @ proj.astype(h.dtype)
+        return h

@@ -1,0 +1,172 @@
+"""ViViM: pure vision-Mamba video backbone (middle cls token).
+
+Reference: /root/reference/video-mamba-suite/egocentric-understanding/
+avion/models/vimamba.py:231-502 (identical model in
+action-recognition/models/vivim.py:229-560): patch embed per frame, cls token
+inserted at the *middle* patch position, abs pos embed + per-frame temporal
+embed, flattened (frames·tokens) sequence through ViM blocks (optionally
+interleaved forward/backward layer pairs, vimamba.py:429-449), final norm,
+mean over per-frame cls positions, optional projection.
+
+Registered sizes (vivim.py:503-560): tiny d192/24L, small d384/24L.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import fused_add_norm
+from .common import DropPath
+from .mamba import MambaVim
+
+
+class PatchEmbed(nn.Module):
+    """Conv2d patchifier: (B, H, W, C) → (B, N, D)."""
+
+    patch_size: int = 16
+    embed_dim: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size
+        x = nn.Conv(
+            self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+            name="proj",
+        )(x)
+        B, H, W, D = x.shape
+        return x.reshape(B, H * W, D)
+
+
+class ViViM(nn.Module):
+    """Input (B, T, H, W, C) videos → (B, embed_dim or output_dim) features
+    (cls_at_middle, mean over frames) or (B, num_classes) logits."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    num_frames: int = 16
+    depth: int = 24
+    embed_dim: int = 192
+    num_classes: int = 0           # 0 ⇒ features only
+    output_dim: Optional[int] = None
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    rms_norm: bool = False
+    norm_eps: float = 1e-5
+    if_devide_out: bool = True
+    if_bidirectional: bool = False  # interleaved fwd/bwd layer pairs
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, T, H, W, C = x.shape
+        feat = PatchEmbed(self.patch_size, self.embed_dim, name="patch_embed")(
+            x.reshape(B * T, H, W, C)
+        )                                               # (BT, N, D)
+        N = feat.shape[1]
+        cls = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, self.embed_dim),
+        ).astype(feat.dtype)
+        mid = N // 2
+        feat = jnp.concatenate(
+            [feat[:, :mid], jnp.tile(cls, (B * T, 1, 1)), feat[:, mid:]], axis=1
+        )                                               # (BT, M, D)
+        M = N + 1
+
+        pos = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, M, self.embed_dim),
+        )
+        feat = feat + pos.astype(feat.dtype)
+        feat = feat.reshape(B, T, M, self.embed_dim)
+        if self.num_frames > 1:
+            temp = self.param(
+                "temporal_embed", nn.initializers.zeros,
+                (self.num_frames, 1, self.embed_dim),
+            )
+            feat = feat + temp[None, :T].astype(feat.dtype)
+        hidden = feat.reshape(B, T * M, self.embed_dim)
+        hidden = nn.Dropout(self.drop_rate)(hidden, deterministic=deterministic)
+
+        dpr = [
+            self.drop_path_rate * i / max(self.depth - 1, 1)
+            for i in range(self.depth)
+        ]
+        inter_dpr = [0.0] + dpr
+        residual = None
+
+        def block(i, hidden, residual, flip=False):
+            w = self.param(f"norm{i}_w", nn.initializers.ones,
+                           (self.embed_dim,), jnp.float32)
+            b = (
+                None if self.rms_norm
+                else self.param(f"norm{i}_b", nn.initializers.zeros,
+                                (self.embed_dim,), jnp.float32)
+            )
+            h_in = DropPath(rate=inter_dpr[i], name=f"dp{i}")(
+                hidden, deterministic=deterministic
+            ) if inter_dpr[i] > 0 else hidden
+            h, res = fused_add_norm(
+                h_in, w, b, residual=residual, prenorm=True,
+                eps=self.norm_eps, is_rms_norm=self.rms_norm,
+            )
+            if flip:
+                h = jnp.flip(h, axis=1)
+            out = MambaVim(
+                d_model=self.embed_dim, if_devide_out=self.if_devide_out,
+                impl=self.impl, name=f"mixer{i}",
+            )(h)
+            return out, res
+
+        if not self.if_bidirectional:
+            for i in range(self.depth):
+                hidden, residual = block(i, hidden, residual)
+        else:
+            # interleaved pairs (vimamba.py:429-449)
+            for i in range(self.depth // 2):
+                h_f, r_f = block(2 * i, hidden, residual)
+                h_b, r_b = block(2 * i + 1, hidden, residual, flip=True)
+                hidden = h_f + jnp.flip(h_b, axis=1)
+                residual = r_f + (jnp.flip(r_b, axis=1) if r_b is not None else 0)
+
+        wf = self.param("norm_f_w", nn.initializers.ones,
+                        (self.embed_dim,), jnp.float32)
+        bf = (
+            None if self.rms_norm
+            else self.param("norm_f_b", nn.initializers.zeros,
+                            (self.embed_dim,), jnp.float32)
+        )
+        hidden, _ = fused_add_norm(
+            hidden, wf, bf, residual=residual, prenorm=False,
+            eps=self.norm_eps, is_rms_norm=self.rms_norm,
+        )
+
+        # mean over the per-frame middle cls positions (vimamba.py:475)
+        cls_positions = jnp.arange(T) * M + mid
+        feats = jnp.mean(hidden[:, cls_positions], axis=1)  # (B, D)
+
+        if self.output_dim is not None:
+            proj = self.param(
+                "image_projection",
+                nn.initializers.normal(self.embed_dim ** -0.5),
+                (self.embed_dim, self.output_dim),
+            )
+            feats = feats @ proj.astype(feats.dtype)
+        if self.num_classes > 0:
+            feats = nn.Dense(self.num_classes, name="head")(feats)
+        return feats
+
+
+def vivim_tiny(**kw) -> ViViM:
+    """vivim.py:503 — ViViM-T."""
+    return ViViM(embed_dim=192, depth=24, **kw)
+
+
+def vivim_small(**kw) -> ViViM:
+    """vivim.py:545 — ViViM-S."""
+    return ViViM(embed_dim=384, depth=24, **kw)
