@@ -1,0 +1,142 @@
+"""PDVC: deformable attention oracle check, matcher, criterion, metrics, e2e."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_mamba_suite_tpu.ops.deform_attn import (
+    MSDeformAttn1D,
+    ms_deform_attn_core,
+)
+from video_mamba_suite_tpu.tasks.captioning import (
+    PDVC,
+    CaptioningTrainer,
+    bleu4,
+    cider_d,
+    evaluate_dvc,
+    hungarian_match,
+    pdvc_losses,
+    rouge_l,
+    soda_c,
+)
+from video_mamba_suite_tpu.tasks.captioning.matcher import match_cost
+
+
+def test_deform_attn_core_oracle():
+    """Single head/level/point at an exact grid center must return that
+    element's value."""
+    B, T, H, D = 1, 8, 1, 4
+    value = jnp.arange(B * T * H * D, dtype=jnp.float32).reshape(B, T, H, D)
+    # sample exactly at element 3: normalized loc = (3 + 0.5) / 8
+    loc = jnp.full((B, 1, H, 1, 1), (3 + 0.5) / 8)
+    w = jnp.ones((B, 1, H, 1, 1))
+    out = ms_deform_attn_core(value, [T], loc, w)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0]), np.asarray(value[0, 3, 0]), rtol=1e-5
+    )
+
+
+def test_deform_attn_core_interpolates():
+    B, T, H, D = 1, 4, 1, 1
+    value = jnp.asarray([0.0, 1.0, 2.0, 3.0]).reshape(B, T, H, D)
+    # halfway between elements 1 and 2 → 1.5; normalized (2.0+0)/4 = 0.5
+    loc = jnp.full((B, 1, H, 1, 1), 0.5)
+    w = jnp.ones((B, 1, H, 1, 1))
+    out = ms_deform_attn_core(value, [T], loc, w)
+    np.testing.assert_allclose(float(out[0, 0, 0]), 1.5, rtol=1e-5)
+
+
+def test_msdeform_module_shapes():
+    mod = MSDeformAttn1D(d_model=16, n_levels=2, n_heads=4, n_points=2)
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    src = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 16))  # levels 8+4
+    ref = jax.random.uniform(jax.random.PRNGKey(2), (2, 5, 2, 1))
+    params = mod.init(jax.random.PRNGKey(3), q, ref, src, [8, 4])
+    out = mod.apply(params, q, ref, src, [8, 4])
+    assert out.shape == (2, 5, 16)
+
+
+def test_hungarian_match():
+    # 3 queries, 2 valid GTs: cost forces q2→g0, q0→g1
+    cost = jnp.asarray([
+        [[5.0, 1.0, 1e6], [9.0, 7.0, 1e6], [1.0, 8.0, 1e6]],
+    ])
+    idx = hungarian_match(cost, jnp.asarray([2]))
+    assert list(np.asarray(idx[0])) == [2, 0, -1]
+
+
+def test_pdvc_losses_perfect_match():
+    B, Q, G, C = 1, 4, 2, 3
+    gt_boxes = jnp.asarray([[[0.3, 0.2], [0.7, 0.1]]])
+    gt_labels = jnp.asarray([[1, 2]])
+    gt_valid = jnp.asarray([[True, True]])
+    match_idx = jnp.asarray([[0, 1]])
+    logits = jnp.full((B, Q, C), -10.0)
+    logits = logits.at[0, 0, 1].set(10.0).at[0, 1, 2].set(10.0)
+    boxes = jnp.zeros((B, Q, 2)).at[0, 0].set(gt_boxes[0, 0]).at[0, 1].set(
+        gt_boxes[0, 1]
+    )
+    counts = jnp.zeros((B, 11)).at[0, 2].set(100.0)
+    out = dict(pred_logits=logits, pred_boxes=boxes, pred_count=counts)
+    losses = pdvc_losses(out, gt_boxes, gt_labels, gt_valid, match_idx)
+    assert float(losses["loss_bbox"]) < 1e-6
+    assert float(losses["loss_giou"]) < 1e-4
+    assert float(losses["loss_count"]) < 1e-3
+    assert float(losses["loss_label"]) < 1e-2
+
+
+def test_caption_metrics():
+    assert bleu4("a man is cooking", ["a man is cooking"]) > 0.99
+    assert bleu4("totally different words here", ["a man is cooking"]) < 0.1
+    assert rouge_l("a man is cooking", ["a man is cooking"]) == 1.0
+    # CIDEr needs a multi-document corpus for non-zero idf
+    hyps = ["a man is cooking", "a dog runs fast", "kids play soccer"]
+    refs = [[h] for h in hyps]
+    c = cider_d(hyps, refs)
+    assert c > 5.0  # perfect matches score high (max 10)
+    c_bad = cider_d(["nothing relevant here", "words words", "foo bar"], refs)
+    assert c_bad < c
+
+    preds = {"v1": [dict(timestamp=[0, 10], sentence="a man cooks", score=0.9)]}
+    gt = {"v1": [dict(timestamp=[0, 10], sentence="a man cooks")]}
+    res = evaluate_dvc(preds, gt)
+    assert res["recall"] == 100.0 and res["precision"] == 100.0
+    assert res["BLEU4"] > 99.0
+    assert soda_c(preds, gt) > 90.0
+
+
+@pytest.mark.slow
+def test_pdvc_end_to_end_trains():
+    """Loss decreases and boxes move toward GT on a synthetic task."""
+    rng = np.random.default_rng(0)
+    B, T, C = 2, 64, 12
+    model = PDVC(input_dim=C, num_classes=1, vocab_size=12, num_queries=6,
+                 d_model=32, n_levels=2, num_encoder_layers=1,
+                 num_decoder_layers=2, max_caption_len=5, impl="assoc")
+    trainer = CaptioningTrainer(model, lr=3e-4)
+
+    # one event per video with a feature bump; caption = fixed token seq per class
+    feats = 0.2 * rng.standard_normal((B, T, C)).astype(np.float32)
+    gt_boxes = np.zeros((B, 4, 2), np.float32)
+    gt_labels = np.zeros((B, 4), np.int32)
+    gt_valid = np.zeros((B, 4), bool)
+    captions = np.full((B, 4, 6), -100, np.int64)
+    for b in range(B):
+        s, e = 16 + 8 * b, 32 + 8 * b
+        feats[b, s:e] += 2.0
+        gt_boxes[b, 0] = [(s + e) / 2 / T, (e - s) / T]
+        gt_valid[b, 0] = True
+        captions[b, 0] = [0, 3, 4, 5, 6, 0]  # BOS … EOS
+
+    mask = np.ones((B, T), np.float32)
+    losses0 = trainer.train_step(feats, mask, gt_boxes, gt_labels, gt_valid,
+                                 captions)
+    for _ in range(60):
+        losses = trainer.train_step(feats, mask, gt_boxes, gt_labels,
+                                    gt_valid, captions)
+    assert losses["loss_total"] < losses0["loss_total"]
+    assert losses["loss_bbox"] < 0.2, losses
+    # decode produces events
+    events = trainer.predict(feats, mask, duration=float(T))
+    assert len(events) == B and len(events[0]) > 0

@@ -1,0 +1,36 @@
+"""Dense video captioning (PDVC-Mamba).
+
+Capability match for /root/reference/video-mamba-suite/video-dense-captioning:
+the PDVC query-based detect+caption meta-arch (pdvc/pdvc.py:34-490) with a
+Mamba encoder replacing the deformable-attention encoder
+(pdvc/deformable_transformer.py:233-279), 1-D multi-scale deformable
+cross-attention in the decoder (pdvc/ops/), LSTM captioning head
+(pdvc/CaptioningHead/LSTM.py), Hungarian matcher + SetCriterion
+(pdvc/matcher.py, criterion.py), and densevid_eval metrics
+(eval_dvc.py, eval_soda.py).
+"""
+
+from .model import PDVC, DeformableTransformer
+from .matcher import hungarian_match
+from .criterion import pdvc_losses
+from .metrics import (
+    bleu4,
+    cider_d,
+    rouge_l,
+    evaluate_dvc,
+    soda_c,
+)
+from .train import CaptioningTrainer
+
+__all__ = [
+    "PDVC",
+    "DeformableTransformer",
+    "hungarian_match",
+    "pdvc_losses",
+    "bleu4",
+    "cider_d",
+    "rouge_l",
+    "evaluate_dvc",
+    "soda_c",
+    "CaptioningTrainer",
+]

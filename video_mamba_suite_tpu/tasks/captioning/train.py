@@ -1,0 +1,135 @@
+"""PDVC trainer: one jitted step with a host Hungarian callback.
+
+Reference flow: /root/reference/video-mamba-suite/video-dense-captioning/
+train.py:35-120 (DDP Adam, grad clip) + pdvc.py forward/criterion. The
+matcher runs on host inside the jitted step via jax.pure_callback
+(SURVEY.md §7 hard part e: host matching without serializing the step into
+multiple dispatches).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...utils.optim import make_optimizer
+from .criterion import pdvc_losses
+from .matcher import hungarian_match, match_cost
+from .metrics import evaluate_dvc, soda_c
+from .model import PDVC
+
+
+class CaptioningTrainer:
+    def __init__(self, model: PDVC, lr: float = 5e-5, weight_decay: float = 1e-4,
+                 grad_clip: float = 0.1, seed: int = 0):
+        self.model = model
+        self.tx = make_optimizer("adamw", lr=lr, weight_decay=weight_decay,
+                                 grad_clip=grad_clip)
+        self.rng = jax.random.PRNGKey(seed)
+        self.params = None
+        self.opt_state = None
+
+        model_, tx = self.model, self.tx
+
+        @jax.jit
+        def step(params, opt_state, rng, feats, mask,
+                 gt_boxes, gt_labels, gt_valid, captions):
+            def loss_fn(p):
+                out = model_.apply(
+                    p, feats, mask, deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                cost = jax.vmap(match_cost)(
+                    out["pred_logits"], out["pred_boxes"],
+                    gt_labels, gt_boxes, gt_valid,
+                )
+                n_valid = jnp.sum(gt_valid, axis=1)
+                match_idx = hungarian_match(
+                    jax.lax.stop_gradient(cost), n_valid
+                )
+                # gather matched query features → caption logits
+                safe_idx = jnp.clip(match_idx, 0, out["query_feats"].shape[1] - 1)
+                qf = jax.vmap(lambda h, i: h[i])(out["query_feats"], safe_idx)
+                B, G, L = captions.shape
+                cap_in = jnp.where(captions == -100, 0, captions)
+                cap_logits = model_.apply(
+                    p, qf.reshape(B * G, -1), cap_in.reshape(B * G, L),
+                    method="caption_logits",
+                ).reshape(B, G, L, -1)
+                # next-token prediction: logits[t] predicts captions[t+1]
+                losses = pdvc_losses(
+                    out, gt_boxes, gt_labels, gt_valid, match_idx,
+                    caption_logits=cap_logits[:, :, :-1],
+                    caption_targets=captions[:, :, 1:],
+                )
+                return losses["loss_total"], losses
+
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, losses
+
+        @jax.jit
+        def fwd(params, feats, mask):
+            out = model_.apply(params, feats, mask, deterministic=True)
+            caps = model_.apply(
+                params,
+                out["query_feats"].reshape(-1, out["query_feats"].shape[-1]),
+                method="caption_greedy",
+            )
+            return out, caps.reshape(
+                out["query_feats"].shape[0], -1, caps.shape[-1]
+            )
+
+        self._step = step
+        self._fwd = fwd
+
+    def init(self, feats, mask):
+        self.rng, k = jax.random.split(self.rng)
+        self.params = self.model.init(
+            {"params": k, "dropout": k}, feats, mask, method="init_all"
+        )
+        self.opt_state = self.tx.init(self.params)
+
+    def train_step(self, feats, mask, gt_boxes, gt_labels, gt_valid,
+                   captions) -> Dict[str, float]:
+        if self.params is None:
+            self.init(feats, mask)
+        self.rng, k = jax.random.split(self.rng)
+        self.params, self.opt_state, losses = self._step(
+            self.params, self.opt_state, k, feats, mask,
+            gt_boxes, gt_labels, gt_valid, captions,
+        )
+        return {k_: float(v) for k_, v in losses.items()}
+
+    def predict(self, feats, mask, duration: float, topk: int = 10,
+                vocab: Optional[List[str]] = None) -> List[dict]:
+        """Decode events + captions for one batch; returns per-video lists of
+        {timestamp, sentence, score} ranked by class prob."""
+        out, caps = self._fwd(self.params, feats, mask)
+        probs = np.asarray(jax.nn.sigmoid(out["pred_logits"]).max(-1))
+        boxes = np.asarray(out["pred_boxes"])
+        caps = np.asarray(caps)
+        results = []
+        for b in range(feats.shape[0]):
+            order = np.argsort(-probs[b])[:topk]
+            events = []
+            for q in order:
+                c, l = boxes[b, q]
+                start, end = (c - l / 2) * duration, (c + l / 2) * duration
+                toks = caps[b, q]
+                words = []
+                for t in toks:
+                    if t == 0:
+                        break
+                    words.append(vocab[t] if vocab else str(int(t)))
+                events.append(dict(
+                    timestamp=[float(start), float(end)],
+                    sentence=" ".join(words),
+                    score=float(probs[b, q]),
+                ))
+            results.append(events)
+        return results
