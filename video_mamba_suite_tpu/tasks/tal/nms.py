@@ -25,7 +25,13 @@ def _iou_1d(seg: np.ndarray, segs: np.ndarray) -> np.ndarray:
 def nms_1d(segs: np.ndarray, scores: np.ndarray,
            iou_threshold: float) -> np.ndarray:
     """Hard NMS; returns kept indices sorted by descending score
-    (nms_cpu.cpp `nms_1d_cpu`)."""
+    (nms_cpu.cpp `nms_1d_cpu`). Uses the native C++ op (csrc/nms_1d.cc)
+    when available, else the numpy path below."""
+    from ...ops.native import nms_1d_native
+
+    native = nms_1d_native(np.asarray(segs), np.asarray(scores), iou_threshold)
+    if native is not None:
+        return native
     order = np.argsort(-scores, kind="stable")
     keep = []
     alive = np.ones(len(segs), bool)
@@ -47,7 +53,16 @@ def soft_nms_1d(segs: np.ndarray, scores: np.ndarray,
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Soft NMS (nms_cpu.cpp softnms): iteratively pick the max, decay
     overlapping scores — linear (method 1) or gaussian (method 2).
-    Returns (sorted_segs, sorted_scores, kept_indices)."""
+    Returns (sorted_segs, sorted_scores, kept_indices). Prefers the native
+    C++ op (csrc/nms_1d.cc)."""
+    from ...ops.native import soft_nms_1d_native
+
+    native = soft_nms_1d_native(
+        np.asarray(segs), np.asarray(scores), iou_threshold, sigma,
+        min_score, method,
+    )
+    if native is not None:
+        return native
     segs = segs.copy().astype(np.float64)
     scores = scores.copy().astype(np.float64)
     idxs = np.arange(len(segs))
