@@ -1,37 +1,26 @@
-"""Benchmark: Pallas chunked selective scan throughput on the TPU chip.
+"""Benchmark on the TPU chip. Prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric (BASELINE.json north star): TimeMamba-B Kinetics-400-style
+inference clips/sec/chip (16 frames, 224², bf16) — the flagship video
+encoder running its Mamba temporal adapters through the Pallas chunked scan
+kernel. `vs_baseline` is the speedup over the same model with the pure-XLA
+associative-scan path on the same chip (the best non-Pallas TPU
+implementation; the reference's A100 numbers are unpublished, SURVEY.md §6).
 
-The measured op is the innermost hot op of every suite model (SURVEY.md §3):
-a full fused Mamba-scale selective scan (delta-softplus + discretize + scan +
-C-projection + D-skip + SiLU(z) gating) at ActionMamba-like shapes.
-`vs_baseline` is the speedup over the pure-XLA associative-scan fallback on
-the same chip — the best non-Pallas TPU implementation (the reference's CUDA
-kernel throughput is unpublished, SURVEY.md §6).
+A secondary selective-scan tokens/sec microbench is printed to stderr for
+tracking (not part of the JSON contract).
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
-def _make_inputs(b, l, d, n, dtype=jnp.float32):
-    ks = jax.random.split(jax.random.PRNGKey(0), 8)
-    return dict(
-        u=jax.random.normal(ks[0], (b, l, d), dtype),
-        delta=0.5 * jax.random.uniform(ks[1], (b, l, d), dtype),
-        A=-0.5 * jax.random.uniform(ks[2], (d, n), jnp.float32),
-        B=jax.random.normal(ks[3], (b, l, n), dtype),
-        C=jax.random.normal(ks[4], (b, l, n), dtype),
-        D=jax.random.normal(ks[5], (d,), jnp.float32),
-        z=jax.random.normal(ks[6], (b, l, d), dtype),
-        bias=0.5 * jax.random.uniform(ks[7], (d,), jnp.float32),
-    )
-
-
-def _time_fn(f, *args, iters=20, warmup=3):
+def _time_fn(f, *args, iters=10, warmup=2):
     for _ in range(warmup):
         jax.block_until_ready(f(*args))
     t0 = time.perf_counter()
@@ -41,44 +30,89 @@ def _time_fn(f, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
+def bench_timemamba(impl: str, batch: int = 8, frames: int = 16,
+                    size: int = 224, iters: int = 10):
+    from video_mamba_suite_tpu.models.timemamba import TimeMamba
+
+    model = TimeMamba(
+        img_size=size, patch_size=16, embed_dim=768, depth=12, num_heads=12,
+        num_frames=frames, ln_pre=True, output_dim=512, impl=impl,
+        scan_blocks=True,  # keep the HLO O(1) in depth (remote-compile limit)
+    )
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (batch, frames, size, size, 3), jnp.bfloat16
+    )
+    params = model.init({"params": jax.random.PRNGKey(1)}, x[:1])
+
+    # params must be ARGUMENTS: closed-over arrays become HLO constants and
+    # the axon remote-compile service rejects the oversized program body
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    t = _time_fn(fwd, params, x, iters=iters)
+    return batch / t  # clips/sec
+
+
+def bench_scan():
     from video_mamba_suite_tpu.ops.selective_scan import selective_scan_assoc
     from video_mamba_suite_tpu.ops.selective_scan_pallas import selective_scan_pallas
 
-    # ActionMamba-scale: batch 8, seqlen 2048, d_inner 1024, d_state 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
     b, l, d, n = 8, 2048, 1024, 16
-    inp = _make_inputs(b, l, d, n)
-    args = (inp["u"], inp["delta"], inp["A"], inp["B"], inp["C"])
-    kw = dict(D=inp["D"], z=inp["z"], delta_bias=inp["bias"], delta_softplus=True)
+    args = (
+        jax.random.normal(ks[0], (b, l, d)),
+        0.5 * jax.random.uniform(ks[1], (b, l, d)),
+        -0.5 * jax.random.uniform(ks[2], (d, n)),
+        jax.random.normal(ks[3], (b, l, n)),
+        jax.random.normal(ks[4], (b, l, n)),
+    )
+    kw = dict(
+        D=jax.random.normal(ks[5], (d,)),
+        z=jax.random.normal(ks[6], (b, l, d)),
+        delta_bias=0.5 * jax.random.uniform(ks[7], (d,)),
+        delta_softplus=True,
+    )
+    t_p = _time_fn(jax.jit(lambda *a: selective_scan_pallas(*a, **kw)), *args)
+    t_a = _time_fn(jax.jit(lambda *a: selective_scan_assoc(*a, **kw)), *args)
+    print(
+        f"[bench] selective_scan pallas: {b * l / t_p:.0f} tok/s "
+        f"({t_a / t_p:.2f}x vs assoc)",
+        file=sys.stderr,
+    )
 
-    on_tpu = jax.default_backend() == "tpu"
-    pallas_fn = jax.jit(lambda *a: selective_scan_pallas(*a, **kw))
-    assoc_fn = jax.jit(lambda *a: selective_scan_assoc(*a, **kw))
 
-    if not on_tpu:
-        # CPU fallback: bench the associative-scan path only (tiny shapes)
-        b2, l2 = 2, 256
-        inp = _make_inputs(b2, l2, d, n)
-        args = (inp["u"], inp["delta"], inp["A"], inp["B"], inp["C"])
-        kw2 = dict(D=inp["D"], z=inp["z"], delta_bias=inp["bias"], delta_softplus=True)
-        assoc_fn = jax.jit(lambda *a: selective_scan_assoc(*a, **kw2))
-        t = _time_fn(assoc_fn, *args, iters=5)
+def main():
+    if jax.default_backend() != "tpu":
+        # CPU fallback: tiny shapes so the line still prints
+        from video_mamba_suite_tpu.ops.selective_scan import selective_scan_assoc
+
+        ks = jax.random.split(jax.random.PRNGKey(0), 5)
+        b, l, d, n = 2, 256, 256, 16
+        f = jax.jit(lambda u, dt, A, B, C: selective_scan_assoc(
+            u, dt, A, B, C, delta_softplus=True))
+        t = _time_fn(
+            f,
+            jax.random.normal(ks[0], (b, l, d)),
+            0.5 * jax.random.uniform(ks[1], (b, l, d)),
+            -0.5 * jax.random.uniform(ks[2], (d, n)),
+            jax.random.normal(ks[3], (b, l, n)),
+            jax.random.normal(ks[4], (b, l, n)),
+            iters=5,
+        )
         print(json.dumps({
             "metric": "selective_scan_assoc_tokens_per_sec_cpu",
-            "value": round(b2 * l2 / t, 1),
+            "value": round(b * l / t, 1),
             "unit": "tokens/s",
             "vs_baseline": 1.0,
         }))
         return
 
-    t_pallas = _time_fn(pallas_fn, *args)
-    t_assoc = _time_fn(assoc_fn, *args)
-    tokens_per_sec = b * l / t_pallas
+    bench_scan()
+    clips_pallas = bench_timemamba("pallas")
+    clips_assoc = bench_timemamba("assoc")
     print(json.dumps({
-        "metric": "selective_scan_pallas_tokens_per_sec",
-        "value": round(tokens_per_sec, 1),
-        "unit": "tokens/s (b8 l2048 d1024 n16, fused gate+skip)",
-        "vs_baseline": round(t_assoc / t_pallas, 3),
+        "metric": "timemamba_b_clips_per_sec_per_chip",
+        "value": round(clips_pallas, 2),
+        "unit": "clips/s (16f 224px bf16 fwd, v5e chip)",
+        "vs_baseline": round(clips_pallas / clips_assoc, 3),
     }))
 
 

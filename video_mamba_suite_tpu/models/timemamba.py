@@ -91,6 +91,35 @@ class SpaceTimeBlock(nn.Module):
         return x
 
 
+class _BlockScanBody(nn.Module):
+    """nn.scan adapter: stacks `depth` SpaceTimeBlocks into one compiled
+    block body (an XLA While loop). Keeps the HLO size O(1) in depth —
+    essential for deep models (the remote-compile service rejects unrolled
+    12-block programs). Uses one shared drop_path rate across layers
+    (instead of the unrolled path's linspace schedule)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    drop: float
+    drop_path: float
+    is_tanh_gating: bool
+    impl: str
+    time_n: int
+    space_f: int
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = SpaceTimeBlock(
+            dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            drop=self.drop, drop_path=self.drop_path,
+            is_tanh_gating=self.is_tanh_gating, impl=self.impl,
+            name="block",
+        )(x, self.time_n, self.space_f, deterministic=self.deterministic)
+        return x, None
+
+
 class TimeMamba(nn.Module):
     """Video encoder (timemamba.py:180-434). Input (B, T, H, W, C)."""
 
@@ -106,6 +135,7 @@ class TimeMamba(nn.Module):
     ln_pre: bool = False            # CLIP-style pre-LN variant
     is_tanh_gating: bool = False
     output_dim: Optional[int] = 512
+    scan_blocks: bool = False       # compile one block, loop `depth` times
     impl: str = "auto"
 
     @nn.compact
@@ -136,15 +166,30 @@ class TimeMamba(nn.Module):
             h = nn.LayerNorm(name="ln_pre")(h)
         h = nn.Dropout(self.drop_rate)(h, deterministic=deterministic)
 
-        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
-               for i in range(self.depth)]
-        for i in range(self.depth):
-            h = SpaceTimeBlock(
+        if self.scan_blocks:
+            scanned = nn.scan(
+                _BlockScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+            )(
                 dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                drop=self.drop_rate, drop_path=dpr[i],
+                drop=self.drop_rate, drop_path=self.drop_path_rate,
                 is_tanh_gating=self.is_tanh_gating, impl=self.impl,
-                name=f"block{i}",
-            )(h, time_n=n, space_f=T, deterministic=deterministic)
+                time_n=n, space_f=T, deterministic=deterministic,
+                name="blocks",
+            )
+            h, _ = scanned(h, None)
+        else:
+            dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
+                   for i in range(self.depth)]
+            for i in range(self.depth):
+                h = SpaceTimeBlock(
+                    dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                    drop=self.drop_rate, drop_path=dpr[i],
+                    is_tanh_gating=self.is_tanh_gating, impl=self.impl,
+                    name=f"block{i}",
+                )(h, time_n=n, space_f=T, deterministic=deterministic)
 
         h = nn.LayerNorm(name="norm")(h)[:, 0]           # cls at last (:377)
         if self.output_dim is not None:

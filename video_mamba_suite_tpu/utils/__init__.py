@@ -7,6 +7,8 @@ from .optim import make_optimizer, no_weight_decay_mask
 from .schedules import make_schedule
 from .ema import EmaState, ema_init, ema_update
 from .meters import AverageMeter
+from .logging import MetricLogger
+from .profiling import StepTimer, trace
 
 __all__ = [
     "Config",
@@ -18,4 +20,7 @@ __all__ = [
     "ema_init",
     "ema_update",
     "AverageMeter",
+    "MetricLogger",
+    "StepTimer",
+    "trace",
 ]
