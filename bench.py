@@ -38,6 +38,7 @@ def bench_timemamba(impl: str, batch: int = 8, frames: int = 16,
         img_size=size, patch_size=16, embed_dim=768, depth=12, num_heads=12,
         num_frames=frames, ln_pre=True, output_dim=512, impl=impl,
         scan_blocks=True,  # keep the HLO O(1) in depth (remote-compile limit)
+        dtype=jnp.bfloat16,  # true bf16 matmuls (params stay fp32)
     )
     x = jax.random.normal(
         jax.random.PRNGKey(0), (batch, frames, size, size, 3), jnp.bfloat16

@@ -175,6 +175,7 @@ class _MambaBase(nn.Module):
     if_devide_out: bool = False  # (sic) reference spelling
     layer_idx: Optional[int] = None
     impl: str = "auto"
+    dtype: Dtype = None            # compute dtype (bf16 policy)
     param_dtype: Dtype = jnp.float32
 
     @property
@@ -206,13 +207,13 @@ class MambaVim(_MambaBase):
         d_in = self.d_inner
         self.in_proj = nn.Dense(
             2 * d_in, use_bias=self.bias, kernel_init=torch_linear_init,
-            param_dtype=self.param_dtype, name="in_proj",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="in_proj",
         )
         self.fwd = self._scan_params("fwd")
         self.bwd = self._scan_params("bwd")
         self.out_proj = nn.Dense(
             self.d_model, use_bias=self.bias, kernel_init=torch_linear_init,
-            param_dtype=self.param_dtype, name="out_proj",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj",
         )
 
     def __call__(self, hidden_states: jax.Array,
@@ -240,12 +241,12 @@ class MambaDBM(_MambaBase):
         d_in = self.d_inner
         self.in_proj = nn.Dense(
             4 * d_in, use_bias=self.bias, kernel_init=torch_linear_init,
-            param_dtype=self.param_dtype, name="in_proj",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="in_proj",
         )
         self.shared = self._scan_params("shared")
         self.out_proj = nn.Dense(
             self.d_model, use_bias=self.bias, kernel_init=torch_linear_init,
-            param_dtype=self.param_dtype, name="out_proj",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj",
         )
 
     def __call__(self, hidden_states: jax.Array,
@@ -268,7 +269,7 @@ class MambaScanNorm(_MambaBase):
         d_in = self.d_inner
         self.in_proj = nn.Dense(
             2 * d_in, use_bias=self.bias, kernel_init=torch_linear_init,
-            param_dtype=self.param_dtype, name="in_proj",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="in_proj",
         )
         self.fwd = self._scan_params("fwd")
         self.bwd = self._scan_params("bwd")
@@ -277,7 +278,7 @@ class MambaScanNorm(_MambaBase):
         )
         self.out_proj = nn.Dense(
             self.d_model, use_bias=self.bias, kernel_init=torch_linear_init,
-            param_dtype=self.param_dtype, name="out_proj",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj",
         )
 
     def __call__(self, hidden_states: jax.Array,
@@ -303,12 +304,12 @@ class MambaCausal(_MambaBase):
         d_in = self.d_inner
         self.in_proj = nn.Dense(
             2 * d_in, use_bias=self.bias, kernel_init=torch_linear_init,
-            param_dtype=self.param_dtype, name="in_proj",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="in_proj",
         )
         self.fwd = self._scan_params("fwd")
         self.out_proj = nn.Dense(
             self.d_model, use_bias=self.bias, kernel_init=torch_linear_init,
-            param_dtype=self.param_dtype, name="out_proj",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj",
         )
 
     def __call__(self, hidden_states: jax.Array) -> jax.Array:

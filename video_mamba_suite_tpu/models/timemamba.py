@@ -26,13 +26,14 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     drop: float = 0.0
+    dtype: Any = None   # compute dtype (bf16 policy); params stay fp32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return nn.Dropout(self.drop)(x, deterministic=deterministic)
 
 
@@ -46,6 +47,7 @@ class SpaceTimeBlock(nn.Module):
     drop_path: float = 0.0
     is_tanh_gating: bool = False
     impl: str = "auto"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, time_n: int, space_f: int, deterministic: bool = True):
@@ -59,9 +61,9 @@ class SpaceTimeBlock(nn.Module):
 
         # --- temporal Mamba per patch position (:130-141)
         ht = h.reshape(B * n, t, D)
-        ht_n = nn.LayerNorm(name="norm3")(ht)
+        ht_n = nn.LayerNorm(dtype=self.dtype, name="norm3")(ht)
         time_out = MambaVim(d_model=D, expand=1, impl=self.impl,
-                            name="time_mamba")(ht_n)
+                            dtype=self.dtype, name="time_mamba")(ht_n)
         if self.is_tanh_gating:
             alpha = self.param("alpha_timeattn", nn.initializers.zeros, ())
             time_out = jnp.tanh(alpha) * time_out
@@ -73,9 +75,9 @@ class SpaceTimeBlock(nn.Module):
         xs = time_residual.reshape(B, n, t, D).transpose(0, 2, 1, 3)
         xs = xs.reshape(B * t, n, D)
         xs = jnp.concatenate([cls_rep, xs], axis=1)      # (B·t, 1+n, D)
-        xs_n = nn.LayerNorm(name="norm1")(xs)
+        xs_n = nn.LayerNorm(dtype=self.dtype, name="norm1")(xs)
         space_out = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, name="attn",
+            num_heads=self.num_heads, dtype=self.dtype, name="attn",
             deterministic=deterministic,
         )(xs_n, xs_n)
         cls_out = space_out[:, 0].reshape(B, t, D).mean(axis=1, keepdims=True)
@@ -84,8 +86,9 @@ class SpaceTimeBlock(nn.Module):
 
         # frozen-in-time: x = res_x + [cls_mean; space_output] (:172)
         x = res_x + jnp.concatenate([cls_out, patch_out], axis=1)
-        mlp_out = Mlp(int(D * self.mlp_ratio), D, self.drop, name="mlp")(
-            nn.LayerNorm(name="norm2")(x), deterministic=deterministic
+        mlp_out = Mlp(int(D * self.mlp_ratio), D, self.drop,
+                      dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic=deterministic
         )
         x = x + DropPath(rate=self.drop_path)(mlp_out, deterministic=deterministic)
         return x
@@ -108,6 +111,7 @@ class _BlockScanBody(nn.Module):
     time_n: int
     space_f: int
     deterministic: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, _):
@@ -115,7 +119,7 @@ class _BlockScanBody(nn.Module):
             dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             drop=self.drop, drop_path=self.drop_path,
             is_tanh_gating=self.is_tanh_gating, impl=self.impl,
-            name="block",
+            dtype=self.dtype, name="block",
         )(x, self.time_n, self.space_f, deterministic=self.deterministic)
         return x, None
 
@@ -136,6 +140,7 @@ class TimeMamba(nn.Module):
     is_tanh_gating: bool = False
     output_dim: Optional[int] = 512
     scan_blocks: bool = False       # compile one block, loop `depth` times
+    dtype: Any = None               # compute dtype (e.g. jnp.bfloat16)
     impl: str = "auto"
 
     @nn.compact
@@ -144,7 +149,7 @@ class TimeMamba(nn.Module):
         p = self.patch_size
         feat = nn.Conv(
             self.embed_dim, (p, p), strides=(p, p), padding="VALID",
-            use_bias=not self.ln_pre, name="patch_embed",
+            use_bias=not self.ln_pre, dtype=self.dtype, name="patch_embed",
         )(x.reshape(B * T, H, W, C))
         BT, hh, ww, D = feat.shape
         n = hh * ww
@@ -177,7 +182,7 @@ class TimeMamba(nn.Module):
                 drop=self.drop_rate, drop_path=self.drop_path_rate,
                 is_tanh_gating=self.is_tanh_gating, impl=self.impl,
                 time_n=n, space_f=T, deterministic=deterministic,
-                name="blocks",
+                dtype=self.dtype, name="blocks",
             )
             h, _ = scanned(h, None)
         else:
@@ -188,7 +193,7 @@ class TimeMamba(nn.Module):
                     dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                     drop=self.drop_rate, drop_path=dpr[i],
                     is_tanh_gating=self.is_tanh_gating, impl=self.impl,
-                    name=f"block{i}",
+                    dtype=self.dtype, name=f"block{i}",
                 )(h, time_n=n, space_f=T, deterministic=deterministic)
 
         h = nn.LayerNorm(name="norm")(h)[:, 0]           # cls at last (:377)

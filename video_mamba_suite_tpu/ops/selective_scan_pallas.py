@@ -41,8 +41,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_CHUNK = 128
-DEFAULT_DTILE = 128
+# Empirically best on v5e at Mamba scales (b8 l2048 d1024 n16 sweep:
+# chunk 32 / dtile 256 ≈ 3.5M tok/s vs 3.1M at 128/128): smaller chunks cut
+# the Hillis–Steele pass count (log2 c), larger d-tiles amortize grid steps.
+DEFAULT_CHUNK = 32
+DEFAULT_DTILE = 256
 
 
 def _cdiv(a: int, b: int) -> int:

@@ -83,6 +83,7 @@ class UniVTGMamba(nn.Module):
     input_dropout: float = 0.5
     drop_path_rate: float = 0.1
     mamba_type: str = "vim"     # 'vim' | 'dbm'
+    if_rope: bool = False       # rotary positions per layer (model/rope.py)
     norm_eps: float = 1e-5
     impl: str = "auto"
 
@@ -137,6 +138,10 @@ class UniVTGMamba(nn.Module):
                     hidden, deterministic=deterministic)
                 if i > 0 else hidden
             )
+            if self.if_rope:
+                from ...models.rope import rope_rotate
+
+                h_in = rope_rotate(h_in)
             h, residual = fused_add_norm(
                 h_in, w, b, residual=residual, prenorm=True,
                 eps=self.norm_eps,
