@@ -102,6 +102,39 @@ def test_pallas_no_optional_args():
     )
 
 
+def test_pallas_multi_dtile_grads():
+    """dtile < dim ⇒ several d-tiles per (batch, chunk) grid step. Regression
+    for the on-hardware bug where dB/dC partials from different d-tiles
+    overwrote each other (non-consecutive block revisits)."""
+    rng = jax.random.PRNGKey(3)
+    u, delta, A, B, C, D, z, bias, g = _inputs(
+        rng, b=2, l=80, d=48, n=8, itype=jnp.float32,
+        has_d=True, has_z=True, has_bias=True,
+    )
+
+    def mkloss(fn):
+        def f(u, delta, A, B, C):
+            out = fn(u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+                     delta_softplus=True)
+            return jnp.sum(out * g)
+        return f
+
+    gr = jax.grad(mkloss(selective_scan_ref), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C
+    )
+    gp = jax.grad(
+        mkloss(lambda *a, **k: selective_scan_pallas(
+            *a, chunk=16, dtile=16, interpret=True, **k)),
+        argnums=(0, 1, 2, 3, 4),
+    )(u, delta, A, B, C)
+    for a_, r_ in zip(gp, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(r_))))
+        np.testing.assert_allclose(
+            np.asarray(a_) / scale, np.asarray(r_) / scale,
+            rtol=2e-3, atol=2e-3,
+        )
+
+
 def test_pallas_determinism():
     """Repeated fwd+bwd is bit-stable (the analogue of the reference's
     causal-conv race-condition stress test, test_causal_conv1d.py:133-165)."""

@@ -214,8 +214,8 @@ def _bwd_kernel(
     else:
         gy = g
 
-    # dC[t,n] = Σ_d gy[t,d] · h[t,n,d]
-    dc_ref[0] = jnp.sum(gy[:, None, :] * h, axis=2).astype(dc_ref.dtype)
+    # dC[t,n] = Σ_d gy[t,d] · h[t,n,d]  (this tile's partial over d)
+    dc_ref[0, 0] = jnp.sum(gy[:, None, :] * h, axis=2).astype(dc_ref.dtype)
 
     # Adjoint recurrence dh_t = C_t⊗gy_t + a_{t+1}⊙dh_{t+1}: a reverse
     # (suffix) scan with pair (a_{t+1}, s_t). The cross-chunk term a_first·dh
@@ -231,7 +231,7 @@ def _bwd_kernel(
     da_ref[0] += jnp.sum(da_el * a * dt[:, None, :], axis=0)  # → dA (n, d)
 
     # dB[t,n] = Σ_d dh[t,n,d] · dt·u
-    db_ref[0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2).astype(db_ref.dtype)
+    db_ref[0, 0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2).astype(db_ref.dtype)
 
     bmat = b_ref[0].astype(jnp.float32)          # (c, n)
     dh_b = jnp.sum(dh * bmat[:, :, None], axis=1)  # Σ_n dh·B (c, d)
@@ -396,6 +396,14 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
                           memory_space=pltpu.VMEM)
     acc_vec = pl.BlockSpec((1, 1, dtile), lambda b, di, li: (b, 0, di),
                            memory_space=pltpu.VMEM)
+    # dB/dC are reductions over dim: each d-tile writes its own partial
+    # (block index includes di — revisits across di are NOT consecutive, so
+    # in-place accumulation would be overwritten); summed over di outside.
+    bc_spec = pl.BlockSpec(
+        (1, 1, chunk, dstate),
+        lambda b, di, li: (b, di, nchunks - 1 - li, 0),
+        memory_space=pltpu.VMEM,
+    )
 
     kernel = functools.partial(
         _bwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
@@ -406,14 +414,14 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
         grid=(batch, ndt, nchunks),
         in_specs=[ld_spec, ld_spec, a_spec, ln_spec, ln_spec, vec_spec, z_spec,
                   vec_spec, states_spec, ld_spec],
-        out_specs=[ld_spec, ld_spec, acc_nd, ln_spec, ln_spec, acc_vec,
+        out_specs=[ld_spec, ld_spec, acc_nd, bc_spec, bc_spec, acc_vec,
                    ld_spec, acc_vec],
         out_shape=[
             jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # du
             jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # ddelta
             jax.ShapeDtypeStruct((batch, dstate, dp), jnp.float32),  # dA per-b
-            jax.ShapeDtypeStruct((batch, lp, dstate), jnp.float32),  # dB
-            jax.ShapeDtypeStruct((batch, lp, dstate), jnp.float32),  # dC
+            jax.ShapeDtypeStruct((batch, ndt, lp, dstate), jnp.float32),  # dB per-tile
+            jax.ShapeDtypeStruct((batch, ndt, lp, dstate), jnp.float32),  # dC per-tile
             jax.ShapeDtypeStruct((batch, 1, dp), jnp.float32),       # dD per-b
             jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # dz
             jax.ShapeDtypeStruct((batch, 1, dp), jnp.float32),       # dbias per-b
@@ -426,8 +434,8 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
     du = du[:, :seqlen, :dim].astype(u.dtype)
     ddelta = ddelta[:, :seqlen, :dim].astype(delta.dtype)
     dA = jnp.sum(dA_bt, axis=0)[:, :dim].T.astype(A.dtype)
-    dB = dB[:, :seqlen].astype(B.dtype)
-    dC = dC[:, :seqlen].astype(C.dtype)
+    dB = jnp.sum(dB, axis=1)[:, :seqlen].astype(B.dtype)
+    dC = jnp.sum(dC, axis=1)[:, :seqlen].astype(C.dtype)
     dD = jnp.sum(dD_b, axis=(0, 1))[:dim].astype(D.dtype) if has_d else None
     dz = dz[:, :seqlen, :dim].astype(z.dtype) if has_z else None
     dbias = (
