@@ -69,37 +69,49 @@ def _combine(lhs, rhs):
     return a1 * a2, a2 * b1 + b2
 
 
-def _inclusive_scan(a, b):
-    """Hillis–Steele inclusive scan of the pair (a, b) over axis 0.
+def _take(x, sl, axis):
+    return jax.lax.slice_in_dim(x, sl.start, sl.stop, axis=axis)
+
+
+def _inclusive_scan(a, b, axis: int = 0):
+    """Hillis–Steele inclusive scan of the pair (a, b) over `axis`.
 
     x_t = a_t · x_{t-1} + b_t; returns (a_cum, h) where a_cum_t = ∏_{s≤t} a_s
     and h_t is the recurrence value with x_{-1}=0. Uses only static
     concatenations and elementwise ops so it lowers cleanly through Mosaic
     (the generic `lax.associative_scan` emits zero-size slices Mosaic
-    rejects). log2(c) passes over the (c, n, d) chunk in VMEM.
+    rejects). log2(c) passes over the chunk in VMEM.
     """
-    c = a.shape[0]
+    c = a.shape[axis]
     shift = 1
     while shift < c:
-        a_prev = jnp.concatenate([jnp.ones_like(a[:shift]), a[:-shift]], axis=0)
-        b_prev = jnp.concatenate([jnp.zeros_like(b[:shift]), b[:-shift]], axis=0)
+        head_a = jnp.ones_like(_take(a, slice(0, shift), axis))
+        head_b = jnp.zeros_like(head_a)
+        a_prev = jnp.concatenate([head_a, _take(a, slice(0, c - shift), axis)],
+                                 axis=axis)
+        b_prev = jnp.concatenate([head_b, _take(b, slice(0, c - shift), axis)],
+                                 axis=axis)
         b = a * b_prev + b
         a = a * a_prev
         shift *= 2
     return a, b
 
 
-def _reverse_scan(a, s):
+def _reverse_scan(a, s, axis: int = 0):
     """Hillis–Steele suffix scan: x_t = a_t · x_{t+1} + s_t (x_c = 0).
 
     Mirror of `_inclusive_scan` shifted the other way (Mosaic lowers neither
     `rev` nor odd-size associative_scan slices, so no flip-scan-flip).
     """
-    c = a.shape[0]
+    c = a.shape[axis]
     shift = 1
     while shift < c:
-        a_next = jnp.concatenate([a[shift:], jnp.ones_like(a[:shift])], axis=0)
-        s_next = jnp.concatenate([s[shift:], jnp.zeros_like(s[:shift])], axis=0)
+        tail_a = jnp.ones_like(_take(a, slice(0, shift), axis))
+        tail_s = jnp.zeros_like(tail_a)
+        a_next = jnp.concatenate([_take(a, slice(shift, c), axis), tail_a],
+                                 axis=axis)
+        s_next = jnp.concatenate([_take(s, slice(shift, c), axis), tail_s],
+                                 axis=axis)
         s = a * s_next + s
         a = a * a_next
         shift *= 2
@@ -476,11 +488,271 @@ def selective_scan_pallas(
         C = C[:, :, 0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    chunk = min(chunk, _round_up(u.shape[1], 8))
-    out, last = _scan_core(
-        u, delta, A, B, C, D, z, delta_bias,
-        delta_softplus, chunk, dtile, interpret,
-    )
+    seq_padded = _round_up(u.shape[1], 8)
+    if seq_padded <= SHORT_SEQ_MAX:
+        # batch-tiled single-chunk path for tiny sequences (video adapters)
+        bt = max(1, 128 // seq_padded)
+        out, last = _short_core(
+            u, delta, A, B, C, D, z, delta_bias,
+            delta_softplus, bt, dtile, interpret,
+        )
+    else:
+        chunk = min(chunk, seq_padded)
+        out, last = _scan_core(
+            u, delta, A, B, C, D, z, delta_bias,
+            delta_softplus, chunk, dtile, interpret,
+        )
     if return_last_state:
         return out, lax.stop_gradient(last)
     return out
+
+# ---------------------------------------------------------------------------
+# Short-sequence fast path
+#
+# Video-adapter workloads scan HUGE batches of TINY sequences (TimeMamba:
+# B·n ≈ 1568 sequences of T = 16 frames). The chunked kernel's grid then
+# degenerates to thousands of steps with ~16 KB blocks — DMA-latency bound at
+# ~10% of HBM bandwidth. This path tiles the BATCH into each grid step
+# instead: one chunk covers the whole sequence (no carried state, no
+# checkpoints), arrays are (bt, c, n, d), and the scan runs over axis 1.
+
+
+def _short_discretize(u_ref, delta_ref, b_ref, a_t, bias_t, softplus, seqlen):
+    u = u_ref[...].astype(jnp.float32)                 # (bt, c, d)
+    dt_pre = delta_ref[...].astype(jnp.float32) + bias_t[None]
+    dt = jax.nn.softplus(dt_pre) if softplus else dt_pre
+    pos = jax.lax.broadcasted_iota(jnp.int32, dt.shape, 1)
+    mask = (pos < seqlen).astype(jnp.float32)
+    dt = dt * mask
+    bmat = b_ref[...].astype(jnp.float32)              # (bt, c, n)
+    a = jnp.exp(dt[:, :, None, :] * a_t[None, None])   # (bt, c, n, d)
+    bu = (dt * u)[:, :, None, :] * bmat[..., None]
+    return u, dt_pre, dt, mask, a, bu
+
+
+def _short_fwd_kernel(
+    u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref,
+    out_ref, last_ref,
+    *, softplus: bool, has_d: bool, has_z: bool, seqlen: int,
+):
+    a_t = a_ref[...].astype(jnp.float32)               # (n, d)
+    bias_t = bias_ref[0].astype(jnp.float32)           # (d,) → broadcast
+    u, _, dt, _, a, bu = _short_discretize(
+        u_ref, delta_ref, b_ref, a_t, bias_t, softplus, seqlen)
+    _, h = _inclusive_scan(a, bu, axis=1)              # (bt, c, n, d)
+    c_mat = c_ref[...].astype(jnp.float32)             # (bt, c, n)
+    y = jnp.sum(h * c_mat[..., None], axis=2)          # (bt, c, d)
+    if has_d:
+        y = y + u * d_ref[0].astype(jnp.float32)[None]
+    if has_z:
+        z = z_ref[...].astype(jnp.float32)
+        y = y * (z * jax.nn.sigmoid(z))
+    out_ref[...] = y.astype(out_ref.dtype)
+    c = h.shape[1]
+    last_ref[...] = jax.lax.squeeze(
+        jax.lax.slice_in_dim(h, c - 1, c, axis=1), (1,)
+    )
+
+
+def _short_bwd_kernel(
+    u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref, g_ref,
+    du_ref, ddelta_ref, da_ref, db_ref, dc_ref, dd_ref, dz_ref, dbias_ref,
+    *, softplus: bool, has_d: bool, has_z: bool, seqlen: int,
+):
+    a_t = a_ref[...].astype(jnp.float32)
+    bias_t = bias_ref[0].astype(jnp.float32)
+    u, dt_pre, dt, mask, a, bu = _short_discretize(
+        u_ref, delta_ref, b_ref, a_t, bias_t, softplus, seqlen)
+    _, h = _inclusive_scan(a, bu, axis=1)              # (bt, c, n, d)
+    bt, c = h.shape[0], h.shape[1]
+    h_prev = jnp.concatenate(
+        [jnp.zeros_like(jax.lax.slice_in_dim(h, 0, 1, axis=1)),
+         jax.lax.slice_in_dim(h, 0, c - 1, axis=1)], axis=1,
+    )
+    g = g_ref[...].astype(jnp.float32)                 # (bt, c, d)
+    c_mat = c_ref[...].astype(jnp.float32)             # (bt, c, n)
+    if has_z:
+        z = z_ref[...].astype(jnp.float32)
+        sig = jax.nn.sigmoid(z)
+        silu = z * sig
+        y_pre = jnp.sum(h * c_mat[..., None], axis=2)
+        if has_d:
+            y_pre = y_pre + u * d_ref[0].astype(jnp.float32)[None]
+        dz_ref[...] = (g * y_pre * (sig + silu * (1.0 - sig))).astype(
+            dz_ref.dtype)
+        gy = g * silu
+    else:
+        gy = g
+    dc_ref[0] = jnp.sum(gy[:, :, None, :] * h, axis=3).astype(dc_ref.dtype)
+    s = c_mat[..., None] * gy[:, :, None, :]           # (bt, c, n, d)
+    a_shift = jnp.concatenate(
+        [jax.lax.slice_in_dim(a, 1, c, axis=1),
+         jnp.ones_like(jax.lax.slice_in_dim(a, 0, 1, axis=1))], axis=1,
+    )
+    dh = _reverse_scan(a_shift, s, axis=1)             # (bt, c, n, d)
+    da_el = dh * h_prev
+    da_ref[0] = jnp.sum(da_el * a * dt[:, :, None, :], axis=(0, 1))
+    db_ref[0] = jnp.sum(dh * (dt * u)[:, :, None, :], axis=3).astype(
+        db_ref.dtype)
+    bmat = b_ref[...].astype(jnp.float32)
+    dh_b = jnp.sum(dh * bmat[..., None], axis=2)       # (bt, c, d)
+    du = dh_b * dt
+    if has_d:
+        dval = d_ref[0].astype(jnp.float32)
+        du = du + gy * dval[None]
+        dd_ref[0] = jnp.sum(gy * u, axis=(0, 1), keepdims=False)[None]
+    du_ref[...] = du.astype(du_ref.dtype)
+    ddt = jnp.sum(da_el * a * a_t[None, None], axis=2) + dh_b * u
+    if softplus:
+        ddt = ddt * jax.nn.sigmoid(dt_pre)
+    ddt = ddt * mask
+    ddelta_ref[...] = ddt.astype(ddelta_ref.dtype)
+    dbias_ref[0] = jnp.sum(ddt, axis=(0, 1), keepdims=False)[None]
+
+
+def _short_pad(u, delta, B, C, z, g, bt, c, dtile):
+    b, l, d = u.shape
+    bp = _round_up(b, bt)
+    dp = _round_up(d, dtile)
+
+    def pad3(x, last=None):
+        if x is None:
+            return None
+        return jnp.pad(x, ((0, bp - b), (0, c - l), (0, 0)) if last else
+                       ((0, bp - b), (0, c - l), (0, dp - d)))
+
+    return (pad3(u), pad3(delta), pad3(B, last=True), pad3(C, last=True),
+            pad3(z), pad3(g), bp, dp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _short_core(u, delta, A, B, C, D, z, delta_bias,
+                softplus: bool, bt: int, dtile: int, interpret: bool):
+    out, last = _short_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
+                                softplus, bt, dtile, interpret)
+    return out, last
+
+
+def _short_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
+                    softplus, bt, dtile, interpret):
+    batch, seqlen, dim = u.shape
+    dstate = A.shape[1]
+    has_d, has_z = D is not None, z is not None
+    c = _round_up(seqlen, 8)
+    up, deltap, Bp, Cp, zp, _, bp, dp = _short_pad(
+        u, delta, B, C, z, None, bt, c, dtile)
+    At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
+    if zp is None:
+        zp = jnp.zeros((bp, 1, dp), u.dtype)
+    nbt, ndt = bp // bt, dp // dtile
+
+    ld = pl.BlockSpec((bt, c, dtile), lambda bi, di: (bi, 0, di),
+                      memory_space=pltpu.VMEM)
+    ln = pl.BlockSpec((bt, c, dstate), lambda bi, di: (bi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    zs = ld if has_z else pl.BlockSpec((bt, 1, dtile),
+                                       lambda bi, di: (bi, 0, di),
+                                       memory_space=pltpu.VMEM)
+    a_s = pl.BlockSpec((dstate, dtile), lambda bi, di: (0, di),
+                       memory_space=pltpu.VMEM)
+    v_s = pl.BlockSpec((1, dtile), lambda bi, di: (0, di),
+                       memory_space=pltpu.VMEM)
+    last_s = pl.BlockSpec((bt, dstate, dtile), lambda bi, di: (bi, 0, di),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _short_fwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
+        seqlen=seqlen)
+    out, last = pl.pallas_call(
+        kernel,
+        grid=(nbt, ndt),
+        in_specs=[ld, ld, a_s, ln, ln, v_s, zs, v_s],
+        out_specs=[ld, last_s],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, c, dp), u.dtype),
+            jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(up, deltap, At, Bp, Cp, Dp, zp, biasp)
+    return (out[:batch, :seqlen, :dim],
+            jnp.swapaxes(last[:batch], 1, 2)[:, :dim])
+
+
+def _short_core_fwd(u, delta, A, B, C, D, z, delta_bias,
+                    softplus, bt, dtile, interpret):
+    out, last = _short_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
+                                softplus, bt, dtile, interpret)
+    return (out, last), (u, delta, A, B, C, D, z, delta_bias)
+
+
+def _short_core_bwd(softplus, bt, dtile, interpret, residuals, cotangents):
+    u, delta, A, B, C, D, z, delta_bias = residuals
+    g, _ = cotangents
+    batch, seqlen, dim = u.shape
+    dstate = A.shape[1]
+    has_d, has_z = D is not None, z is not None
+    c = _round_up(seqlen, 8)
+    up, deltap, Bp, Cp, zp, gp, bp, dp = _short_pad(
+        u, delta, B, C, z, g.astype(jnp.float32), bt, c, dtile)
+    At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
+    if zp is None:
+        zp = jnp.zeros((bp, 1, dp), u.dtype)
+    nbt, ndt = bp // bt, dp // dtile
+
+    ld = pl.BlockSpec((bt, c, dtile), lambda bi, di: (bi, 0, di),
+                      memory_space=pltpu.VMEM)
+    ln = pl.BlockSpec((bt, c, dstate), lambda bi, di: (bi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    zs = ld if has_z else pl.BlockSpec((bt, 1, dtile),
+                                       lambda bi, di: (bi, 0, di),
+                                       memory_space=pltpu.VMEM)
+    a_s = pl.BlockSpec((dstate, dtile), lambda bi, di: (0, di),
+                       memory_space=pltpu.VMEM)
+    v_s = pl.BlockSpec((1, dtile), lambda bi, di: (0, di),
+                       memory_space=pltpu.VMEM)
+    # per-grid-step partials (each (bi, di) block visited exactly once)
+    da_s = pl.BlockSpec((1, dstate, dtile), lambda bi, di: (bi, 0, di),
+                        memory_space=pltpu.VMEM)
+    dvec_s = pl.BlockSpec((1, 1, dtile), lambda bi, di: (bi, 0, di),
+                          memory_space=pltpu.VMEM)
+    bc_s = pl.BlockSpec((1, bt, c, dstate), lambda bi, di: (di, bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _short_bwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
+        seqlen=seqlen)
+    du, ddelta, dA_p, dB_p, dC_p, dD_p, dz, dbias_p = pl.pallas_call(
+        kernel,
+        grid=(nbt, ndt),
+        in_specs=[ld, ld, a_s, ln, ln, v_s, zs, v_s, ld],
+        out_specs=[ld, ld, da_s, bc_s, bc_s, dvec_s, ld, dvec_s],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, c, dp), jnp.float32),        # du
+            jax.ShapeDtypeStruct((bp, c, dp), jnp.float32),        # ddelta
+            jax.ShapeDtypeStruct((nbt, dstate, dp), jnp.float32),  # dA parts
+            jax.ShapeDtypeStruct((ndt, bp, c, dstate), jnp.float32),  # dB
+            jax.ShapeDtypeStruct((ndt, bp, c, dstate), jnp.float32),  # dC
+            jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dD parts
+            jax.ShapeDtypeStruct((bp, c, dp), jnp.float32),        # dz
+            jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dbias
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(up, deltap, At, Bp, Cp, Dp, zp, biasp, gp)
+
+    du = du[:batch, :seqlen, :dim].astype(u.dtype)
+    ddelta = ddelta[:batch, :seqlen, :dim].astype(delta.dtype)
+    dA = jnp.sum(dA_p, axis=0)[:, :dim].T.astype(A.dtype)
+    dB = jnp.sum(dB_p, axis=0)[:batch, :seqlen].astype(B.dtype)
+    dC = jnp.sum(dC_p, axis=0)[:batch, :seqlen].astype(C.dtype)
+    dD = jnp.sum(dD_p, axis=(0, 1))[:dim].astype(D.dtype) if has_d else None
+    dz = dz[:batch, :seqlen, :dim].astype(z.dtype) if has_z else None
+    dbias = (jnp.sum(dbias_p, axis=(0, 1))[:dim].astype(delta_bias.dtype)
+             if delta_bias is not None else None)
+    return (du, ddelta, dA, dB, dC, dD, dz, dbias)
+
+
+_short_core.defvjp(_short_core_fwd, _short_core_bwd)
+
+SHORT_SEQ_MAX = 64  # sequences padded to ≤ this take the batch-tiled path
