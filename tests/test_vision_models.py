@@ -136,3 +136,19 @@ def test_multi_view_merge_and_topk():
     np.testing.assert_allclose(merged[0], [0.55, 0.45])
     acc = topk_accuracy(merged, np.array([0, 1]), ks=(1,))
     assert acc["top1"] == 100.0
+
+
+def test_vivim_scan_blocks():
+    """nn.scan block stacking: same API/shape, O(1)-depth HLO."""
+    model = ViViM(img_size=32, patch_size=16, num_frames=2, depth=4,
+                  embed_dim=32, output_dim=16, scan_blocks=True,
+                  impl="assoc")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(1)}, x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 16)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # stacked params: one block with a leading depth axis
+    mixers = params["params"]["blocks"]["mixer"]
+    leaf = jax.tree_util.tree_leaves(mixers)[0]
+    assert leaf.shape[0] == 4

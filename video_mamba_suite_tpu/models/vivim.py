@@ -25,6 +25,42 @@ from .common import DropPath
 from .mamba import MambaVim
 
 
+class _ViViMScanBody(nn.Module):
+    """nn.scan adapter stacking ViViM blocks into one compiled body (HLO
+    O(1) in depth — required for 24-layer models under the tunneled
+    remote-compile size limit). Carry is (hidden, residual); drop-path rate
+    is shared across layers in this mode."""
+
+    embed_dim: int
+    rms_norm: bool
+    norm_eps: float
+    if_devide_out: bool
+    impl: str
+    drop_path: float
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        hidden, residual = carry
+        w = self.param("norm_w", nn.initializers.ones,
+                       (self.embed_dim,), jnp.float32)
+        b = (None if self.rms_norm
+             else self.param("norm_b", nn.initializers.zeros,
+                             (self.embed_dim,), jnp.float32))
+        h_in = DropPath(rate=self.drop_path, name="dp")(
+            hidden, deterministic=self.deterministic
+        ) if self.drop_path > 0 else hidden
+        h, res = fused_add_norm(
+            h_in, w, b, residual=residual, prenorm=True,
+            eps=self.norm_eps, is_rms_norm=self.rms_norm,
+        )
+        out = MambaVim(
+            d_model=self.embed_dim, if_devide_out=self.if_devide_out,
+            impl=self.impl, name="mixer",
+        )(h)
+        return (out, res), None
+
+
 class PatchEmbed(nn.Module):
     """Conv2d patchifier: (B, H, W, C) → (B, N, D)."""
 
@@ -59,6 +95,7 @@ class ViViM(nn.Module):
     norm_eps: float = 1e-5
     if_devide_out: bool = True
     if_bidirectional: bool = False  # interleaved fwd/bwd layer pairs
+    scan_blocks: bool = False       # compile one block, loop depth times
     impl: str = "auto"
 
     @nn.compact
@@ -123,7 +160,23 @@ class ViViM(nn.Module):
             )(h)
             return out, res
 
-        if not self.if_bidirectional:
+        if self.scan_blocks:
+            assert not self.if_bidirectional, "scan_blocks: unidirectional only"
+            scanned = nn.scan(
+                _ViViMScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+            )(
+                embed_dim=self.embed_dim, rms_norm=self.rms_norm,
+                norm_eps=self.norm_eps, if_devide_out=self.if_devide_out,
+                impl=self.impl, drop_path=self.drop_path_rate,
+                deterministic=deterministic, name="blocks",
+            )
+            (hidden, residual), _ = scanned(
+                (hidden, jnp.zeros_like(hidden, jnp.float32)), None
+            )
+        elif not self.if_bidirectional:
             for i in range(self.depth):
                 hidden, residual = block(i, hidden, residual)
         else:

@@ -23,6 +23,23 @@ from ...models.mamba import Block, MambaCausal, make_block
 from ...ops import fused_add_norm
 
 
+class NormalizedLinear(nn.Module):
+    """Cosine classifier (models/normalized_linear.py, the FC_NORM option):
+    logits = scale · (x/|x|) @ (W/|W|)."""
+
+    features: int
+    scale: float = 20.0
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (x.shape[-1], self.features))
+        xf = x.astype(jnp.float32)
+        xn = xf / jnp.sqrt(jnp.sum(xf * xf, -1, keepdims=True) + 1e-8)
+        wn = w / jnp.sqrt(jnp.sum(w * w, 0, keepdims=True) + 1e-8)
+        return (self.scale * xn @ wn).astype(x.dtype)
+
+
 class FeatureHead(nn.Module):
     """Fuse visual+motion (+object) features → d_model (feature_head.py)."""
 
@@ -51,6 +68,7 @@ class LSTRMamba(nn.Module):
     anticipation_num_samples: int = 0
     mamba_layers: int = 2
     dropout_cls: float = 0.0
+    fc_norm: bool = False   # cosine classifier (MODEL.LSTR.FC_NORM)
     impl: str = "auto"
 
     def setup(self):
@@ -69,7 +87,11 @@ class LSTRMamba(nn.Module):
                 "dec_query", nn.initializers.normal(0.02),
                 (self.anticipation_num_samples, self.d_model),
             )
-        self.classifier = nn.Dense(self.num_classes, name="classifier")
+        if self.fc_norm:
+            self.classifier = NormalizedLinear(self.num_classes,
+                                               name="classifier")
+        else:
+            self.classifier = nn.Dense(self.num_classes, name="classifier")
         if self.num_verbs:
             self.classifier_verb = nn.Dense(self.num_verbs, name="classifier_verb")
         if self.num_nouns:

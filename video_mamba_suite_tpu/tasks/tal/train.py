@@ -24,6 +24,28 @@ from .model import ActionMambaDetector, decode_single_video, label_points, tal_l
 from .nms import batched_nms
 
 
+def fuse_external_scores(segs, scores, ext_scores, topk_per_prop: int = 2,
+                         max_out: int = 200):
+    """External classification-score fusion (the THUMOS `ext_score_file`
+    mode, configs/mamba_thumos_new.yaml:44-50 + postprocessing.py): the model
+    provides class-agnostic proposals; video-level classifier scores provide
+    labels. Each proposal expands into its top classes with
+    score = sqrt(prop_score · cls_score)."""
+    import numpy as np
+
+    ext = np.asarray(ext_scores, np.float64)
+    top_cls = np.argsort(-ext)[:topk_per_prop]
+    out_segs, out_scores, out_labels = [], [], []
+    for seg, sc in zip(np.asarray(segs), np.asarray(scores)):
+        for c in top_cls:
+            out_segs.append(seg)
+            out_scores.append(float(np.sqrt(max(sc, 0) * ext[c])))
+            out_labels.append(int(c))
+    order = np.argsort(-np.asarray(out_scores))[:max_out]
+    return (np.asarray(out_segs)[order], np.asarray(out_scores)[order],
+            np.asarray(out_labels)[order])
+
+
 class TalTrainer:
     def __init__(
         self,
