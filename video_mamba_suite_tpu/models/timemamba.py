@@ -140,6 +140,8 @@ class TimeMamba(nn.Module):
     is_tanh_gating: bool = False
     output_dim: Optional[int] = 512
     scan_blocks: bool = False       # compile one block, loop `depth` times
+    remat: bool = False             # rematerialize blocks under scan (the
+                                    # grad-checkpointing option, timemamba.py:366)
     dtype: Any = None               # compute dtype (e.g. jnp.bfloat16)
     impl: str = "auto"
 
@@ -172,8 +174,9 @@ class TimeMamba(nn.Module):
         h = nn.Dropout(self.drop_rate)(h, deterministic=deterministic)
 
         if self.scan_blocks:
+            body = nn.remat(_BlockScanBody) if self.remat else _BlockScanBody
             scanned = nn.scan(
-                _BlockScanBody,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,

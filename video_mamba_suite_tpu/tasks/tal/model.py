@@ -42,10 +42,12 @@ class MambaBackbone(nn.Module):
     with_ln: bool = False
     mixer: str = "dbm"       # ActionMamba uses the DBM mixer (SURVEY.md §2.3)
     drop_path_rate: float = 0.3
+    remat: bool = False      # rematerialize blocks (activation checkpointing)
     impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        block_cls = nn.remat(MaskMambaBlock, static_argnums=(3,))             if self.remat else MaskMambaBlock
         x = x * mask.astype(x.dtype)[..., None]
         for idx in range(self.arch[0]):
             x, mask = MaskedConv1D(
@@ -56,18 +58,18 @@ class MambaBackbone(nn.Module):
                 x = LayerNorm1D(self.n_embd, name=f"embd_ln{idx}")(x)
             x = nn.relu(x)
         for idx in range(self.arch[1]):
-            x, mask = MaskMambaBlock(
+            x, mask = block_cls(
                 self.n_embd, mixer=self.mixer,
                 drop_path_rate=self.drop_path_rate, impl=self.impl,
                 name=f"stem{idx}",
-            )(x, mask, deterministic=deterministic)
+            )(x, mask, deterministic)
         feats, masks = [x], [mask]
         for idx in range(self.arch[2]):
-            x, mask = MaskMambaBlock(
+            x, mask = block_cls(
                 self.n_embd, mixer=self.mixer, n_ds_stride=self.scale_factor,
                 drop_path_rate=self.drop_path_rate, impl=self.impl,
                 name=f"branch{idx}",
-            )(x, mask, deterministic=deterministic)
+            )(x, mask, deterministic)
             feats.append(x)
             masks.append(mask)
         return feats, masks
