@@ -111,6 +111,70 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         loader=dict(batch_size=256),
         test=dict(num_temporal_views=4, num_spatial_views=3),
     ),
+    # --- TAL dataset variants (README tables: ActivityNet/HACS/FineAction)
+    "tal_anet": dict(
+        dataset=dict(num_classes=1, input_dim=3200, feat_stride=16,
+                     num_frames=16, max_seq_len=192, trunc_thresh=0.5,
+                     crop_ratio=[0.9, 1.0]),
+        model=dict(backbone_arch=[2, 2, 5], embd_dim=512,
+                   fpn_type="identity", mixer="dbm", scale_factor=2),
+        opt=dict(learning_rate=1e-3, epochs=15, weight_decay=0.05,
+                 warmup_epochs=5, grad_clip=1.0, ema_decay=0.999),
+        loader=dict(batch_size=16),
+        test_cfg=dict(multiclass_nms=False, nms_sigma=0.75, max_seg_num=100,
+                      voting_thresh=0.9, ext_score_fusion=True),
+    ),
+    "tal_hacs": dict(
+        dataset=dict(num_classes=1, input_dim=3200, feat_stride=8,
+                     num_frames=8, max_seq_len=960),
+        model=dict(backbone_arch=[2, 2, 5], embd_dim=512,
+                   fpn_type="identity", mixer="dbm", scale_factor=2),
+        opt=dict(learning_rate=1e-3, epochs=15, weight_decay=0.05),
+        loader=dict(batch_size=16),
+        test_cfg=dict(multiclass_nms=False, ext_score_fusion=True),
+    ),
+    "tal_fineaction": dict(
+        dataset=dict(num_classes=1, input_dim=1408, feat_stride=16,
+                     num_frames=16, max_seq_len=192),
+        model=dict(backbone_arch=[2, 2, 5], embd_dim=512,
+                   fpn_type="identity", mixer="dbm", scale_factor=2),
+        opt=dict(learning_rate=1e-3, epochs=20, weight_decay=0.05),
+        loader=dict(batch_size=16),
+        test_cfg=dict(multiclass_nms=False, ext_score_fusion=True),
+    ),
+    # --- TAS dataset variants
+    "tas_50salads": dict(
+        model=dict(num_decoders=3, num_layers=10, num_f_maps=64,
+                   input_dim=2048, channel_masking_rate=0.3, mixer="vim"),
+        opt=dict(learning_rate=5e-4, weight_decay=1e-5, epochs=120),
+        loader=dict(batch_size=1, sample_rate=2),
+        dataset=dict(num_classes=19),
+    ),
+    "tas_breakfast": dict(
+        model=dict(num_decoders=3, num_layers=10, num_f_maps=64,
+                   input_dim=2048, channel_masking_rate=0.3, mixer="vim"),
+        opt=dict(learning_rate=5e-4, weight_decay=1e-5, epochs=120),
+        loader=dict(batch_size=1, sample_rate=1),
+        dataset=dict(num_classes=48),
+    ),
+    # --- VTG dataset variant
+    "vtg_charades": dict(
+        model=dict(embed_dim=1024, depth=6, mamba_type="dbm",
+                   input_dropout=0.5, max_q_l=32, max_v_l=75, clip_len=1.0),
+        dataset=dict(v_feat_dim=4096, t_feat_dim=512),
+        opt=dict(learning_rate=1e-4, weight_decay=1e-4, epochs=100,
+                 grad_clip=0.1),
+        loader=dict(batch_size=32),
+    ),
+    # --- DVC dataset variant
+    "dvc_yc2_tsn": dict(
+        model=dict(d_model=512, num_queries=100, n_levels=4,
+                   num_encoder_layers=2, num_decoder_layers=2,
+                   max_eseq_length=20, max_caption_len=30, mixer="vim",
+                   input_dim=3072, num_classes=1),
+        opt=dict(learning_rate=5e-5, weight_decay=1e-4, epochs=30),
+        loader=dict(batch_size=1),
+    ),
 }
 
 
