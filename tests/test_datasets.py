@@ -48,6 +48,32 @@ def test_video_classification_dataset_csv(tmp_path):
     ds = VideoClassificationDataset(str(csvf), video_root=str(tmp_path))
     assert len(ds) == 2
     assert ds.items[1] == (str(tmp_path / "b.mp4"), 7)
-    # no decode backend in this image → decoding raises cleanly
+    # nonexistent files → clean error after retries
     with pytest.raises(RuntimeError):
         ds[0]
+
+
+def test_video_classification_real_decode(tmp_path):
+    """End-to-end: encode real clips with OpenCV, sparse-sample, decode."""
+    cv2 = pytest.importorskip("cv2")
+    from video_mamba_suite_tpu.data.video import synthetic_video
+    from video_mamba_suite_tpu.data.video_datasets import (
+        VideoClassificationDataset,
+    )
+
+    for name, seed in (("a.avi", 0), ("b.avi", 1)):
+        vid = synthetic_video(num_frames=12, size=32, seed=seed)
+        w = cv2.VideoWriter(str(tmp_path / name),
+                            cv2.VideoWriter_fourcc(*"MJPG"), 10, (32, 32))
+        for f in vid:
+            w.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        w.release()
+    csvf = tmp_path / "train.csv"
+    csvf.write_text("a.avi 0\nb.avi 1\n")
+    ds = VideoClassificationDataset(str(csvf), video_root=str(tmp_path),
+                                    num_frames=4, num_clips=2,
+                                    is_training=False)
+    s = ds[0]
+    assert s["frames"].shape == (2, 4, 32, 32, 3)  # 2 views × 4 frames
+    assert s["frames"].dtype == np.uint8
+    assert s["label"] == 0

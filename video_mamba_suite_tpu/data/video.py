@@ -7,11 +7,10 @@ sampling, retry-on-error) and action-recognition's sparse sampling
 (datasets/kinetics_sparse.py:28-102).
 
 TPU design (BASELINE north star): the host decodes compressed frames (any of
-decord / PyAV / OpenCV / ffmpeg-pipe, auto-detected — none is baked into this
-image, so a synthetic source keeps tests runnable), while resize / crop /
-flip / normalization run as one jitted jnp stage on device — the XLA
-equivalent of AVION's fused decode-crop + GPU kornia transforms
-(engine/main_lavila_finetune_cls.py:281-307).
+decord / PyAV / OpenCV / ffmpeg-pipe, auto-detected; OpenCV is available in
+this image), while resize / crop / flip / normalization run as one jitted
+jnp stage on device — the XLA equivalent of AVION's fused decode-crop +
+GPU kornia transforms (engine/main_lavila_finetune_cls.py:281-307).
 """
 
 from __future__ import annotations
@@ -80,6 +79,8 @@ class VideoDecoder:
             import cv2
 
             self._cap = cv2.VideoCapture(self.path)
+            if not self._cap.isOpened():
+                raise RuntimeError(f"cv2 could not open {self.path!r}")
             self.num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
             self.fps = float(self._cap.get(cv2.CAP_PROP_FPS))
         elif self.backend == "ffmpeg":
