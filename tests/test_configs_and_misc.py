@@ -65,3 +65,35 @@ def test_egoschema_zero_shot():
     ]
     res = egoschema_zero_shot(encode_video, encode_text, qs, tok)
     assert res["accuracy"] == 100.0
+
+
+def test_tal_checkpoint_resume(tmp_path):
+    """Orbax save → restore reproduces the exact training state."""
+    import numpy as np
+
+    from video_mamba_suite_tpu.tasks.tal import TalTrainer
+    from video_mamba_suite_tpu.tasks.tal.data import (
+        collate_tal,
+        make_synthetic_tal,
+    )
+
+    items = make_synthetic_tal(num_videos=2, num_classes=2, feat_dim=8,
+                               seq_len=64)
+    tr = TalTrainer(input_dim=8, num_classes=2, max_seq_len=64, embd_dim=16,
+                    backbone_arch=(1, 1, 1),
+                    regression_range=[(0, 16), (16, 10000)],
+                    impl="assoc", max_num_gt=4)
+    batch = collate_tal(items, 64, 4, training=True)
+    tr.train_step(*batch)
+    tr.save(str(tmp_path / "ckpt"), step=1)
+
+    tr2 = TalTrainer(input_dim=8, num_classes=2, max_seq_len=64, embd_dim=16,
+                     backbone_arch=(1, 1, 1),
+                     regression_range=[(0, 16), (16, 10000)],
+                     impl="assoc", max_num_gt=4)
+    step = tr2.restore(str(tmp_path / "ckpt"), batch[0], batch[1])
+    assert step == 1
+    for a, b in zip(jax.tree_util.tree_leaves(tr.params),
+                    jax.tree_util.tree_leaves(tr2.params)):
+        assert jnp.array_equal(a, b)
+    assert float(tr2.loss_norm) == float(tr.loss_norm)

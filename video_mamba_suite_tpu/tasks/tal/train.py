@@ -188,6 +188,33 @@ class TalTrainer:
             nb += 1
         return {k_: v / max(nb, 1) for k_, v in agg.items()}
 
+    def save(self, directory: str, step: int):
+        """Checkpoint model/EMA/optimizer/loss-normalizer (the reference
+        save_checkpoint contents, train_eval.py:89-106)."""
+        from ...utils.checkpoint import save_checkpoint
+
+        save_checkpoint(directory, step, dict(
+            params=self.params, ema=self.ema.params,
+            opt_state=self.opt_state, loss_norm=self.loss_norm,
+        ))
+
+    def restore(self, directory: str, feats, mask, step=None) -> int:
+        """Resume from the latest (or given) step; returns the step."""
+        from ...utils.checkpoint import latest_step, restore_checkpoint
+
+        if self.params is None:
+            self.init(feats, mask)
+        step = step if step is not None else latest_step(directory)
+        state = restore_checkpoint(directory, step, template=dict(
+            params=self.params, ema=self.ema.params,
+            opt_state=self.opt_state, loss_norm=self.loss_norm,
+        ))
+        self.params = state["params"]
+        self.ema = self.ema._replace(params=state["ema"])
+        self.opt_state = state["opt_state"]
+        self.loss_norm = state["loss_norm"]
+        return step
+
     def predict_video(self, item: dict, use_ema: bool = True) -> dict:
         """Single-video inference → NMS'd segments in seconds
         (meta_archs.py inference+postprocessing :628-786)."""
