@@ -97,3 +97,44 @@ def test_tal_checkpoint_resume(tmp_path):
                     jax.tree_util.tree_leaves(tr2.params)):
         assert jnp.array_equal(a, b)
     assert float(tr2.loss_norm) == float(tr.loss_norm)
+
+
+def test_rope_rotate_properties():
+    from video_mamba_suite_tpu.models.rope import rope_rotate
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
+    out = rope_rotate(x)
+    assert out.shape == x.shape
+    # rotation preserves the norm of each (x1, x2) pair
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5,
+    )
+    # position 0 is identity (angle 0)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(x[:, 0]),
+                               rtol=1e-5)
+
+
+def test_fuse_external_scores():
+    from video_mamba_suite_tpu.tasks.tal.train import fuse_external_scores
+
+    segs = np.array([[0.0, 10.0], [20.0, 30.0]])
+    scores = np.array([0.9, 0.4])
+    ext = np.array([0.05, 0.8, 0.15])  # class 1 dominant
+    s, sc, lb = fuse_external_scores(segs, scores, ext, topk_per_prop=2)
+    assert len(s) == 4  # 2 proposals × top-2 classes
+    assert lb[0] == 1   # best = strongest proposal × strongest class
+    np.testing.assert_allclose(sc[0], np.sqrt(0.9 * 0.8), rtol=1e-6)
+
+
+def test_vtg_rope_option_runs():
+    from video_mamba_suite_tpu.tasks.vtg import UniVTGMamba
+
+    model = UniVTGMamba(txt_dim=8, vid_dim=8, embed_dim=16, depth=2,
+                        if_rope=True, impl="assoc")
+    txt = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8))
+    vid = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8))
+    tm, vm = jnp.ones((1, 4)), jnp.ones((1, 8))
+    params = model.init({"params": jax.random.PRNGKey(2)}, txt, tm, vid, vm)
+    out = model.apply(params, txt, tm, vid, vm)
+    assert bool(jnp.all(jnp.isfinite(out["pred_spans"])))
