@@ -20,13 +20,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _fetch(out):
+    """Force completion with a host fetch — jax.block_until_ready has been
+    observed NOT to block under the tunneled axon platform for large
+    outputs; transferring a scalar is a reliable sync point."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
 def _time_fn(f, *args, iters=10, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(f(*args))
+        _fetch(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / iters
 
 

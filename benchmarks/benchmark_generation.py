@@ -45,14 +45,15 @@ def main():
         max_length=args.promptlen + args.genlen, top_k=args.topk
     )
 
+    import numpy as np
+
     gen = jax.jit(lambda p, i: generate(model, p, i, cfg))
-    out = gen(params, ids)
-    out.block_until_ready()
+    np.asarray(gen(params, ids))  # compile + sync
 
     t0 = time.perf_counter()
     for _ in range(args.repeats):
         out = gen(params, ids)
-    out.block_until_ready()
+    np.asarray(out)  # host fetch = reliable sync under axon
     dt = (time.perf_counter() - t0) / args.repeats
     total_tokens = args.batch * (args.promptlen + args.genlen)
     print(

@@ -17,13 +17,22 @@ import jax.numpy as jnp
 from video_mamba_suite_tpu.utils.profiling import live_memory_bytes
 
 
+def _fetch(out):
+    """Reliable sync: host-fetch one scalar (block_until_ready can no-op
+    under the tunneled axon platform for large outputs)."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
 def _timeit(f, *args, iters=10, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(f(*args))
+        _fetch(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / iters
 
 
