@@ -101,3 +101,23 @@ def test_lm_generate_greedy_matches_forward_argmax():
     expect = int(jnp.argmax(logits[0, -1]))
     out = generate(model, params, ids, GenerationConfig(max_length=6))
     assert int(out[0, 4]) == expect
+
+
+@pytest.mark.parametrize("cls", [MambaVim, MambaDBM])
+def test_fused_bidir_matches_unfused(cls):
+    """fuse_scan=True (one grouped scan) must equal the two-call path."""
+    kw = dict(d_model=24, d_state=8, expand=2, impl="assoc")
+    fused = cls(fuse_scan=True, **kw)
+    unfused = cls(fuse_scan=False, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 24))
+    mask = jnp.concatenate([jnp.ones((2, 14)), jnp.zeros((2, 6))], axis=1)
+    params = fused.init(jax.random.PRNGKey(1), x)
+    y1 = fused.apply(params, x, mask)
+    y2 = unfused.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-4, atol=2e-4)
+    # and without a mask
+    y1 = fused.apply(params, x)
+    y2 = unfused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-4, atol=2e-4)

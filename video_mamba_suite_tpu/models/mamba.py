@@ -39,6 +39,7 @@ from ..ops import (
     rms_norm,
     selective_state_update,
 )
+from ..ops.mamba_inner import mamba_inner_bidir
 
 Dtype = Any
 
@@ -143,6 +144,11 @@ class _ScanParams(nn.Module):
         )
         self.D = self.param("D", nn.initializers.ones, (self.d_inner,), jnp.float32)
 
+    def param_dict(self) -> dict:
+        return dict(conv_w=self.conv_w, conv_b=self.conv_b,
+                    x_proj=self.x_proj, dt_proj=self.dt_proj,
+                    dt_bias=self.dt_bias, D=self.D)
+
     def __call__(self, xz: jax.Array, impl: str = "auto",
                  mask: Optional[jax.Array] = None) -> jax.Array:
         A = -jnp.exp(self.A_log)
@@ -175,6 +181,10 @@ class _MambaBase(nn.Module):
     if_devide_out: bool = False  # (sic) reference spelling
     layer_idx: Optional[int] = None
     impl: str = "auto"
+    fuse_scan: bool = False        # one grouped scan call for both directions
+                                   # (measured slower on v5e: the stream
+                                   # concats cost more HBM traffic than the
+                                   # saved dispatch; kept as an option)
     dtype: Dtype = None            # compute dtype (bf16 policy)
     param_dtype: Dtype = jnp.float32
 
@@ -219,10 +229,18 @@ class MambaVim(_MambaBase):
     def __call__(self, hidden_states: jax.Array,
                  mask: Optional[jax.Array] = None) -> jax.Array:
         xz = self.in_proj(hidden_states)                      # (b, l, 2*d_in)
-        mask_b = jnp.flip(mask, axis=1) if mask is not None else None
-        out_f = self.fwd(xz, impl=self.impl, mask=mask)
-        out_b = self.bwd(jnp.flip(xz, axis=1), impl=self.impl, mask=mask_b)
-        out = out_f + jnp.flip(out_b, axis=1)
+        if self.fuse_scan:
+            out_f, out_b = mamba_inner_bidir(
+                xz, xz, self.fwd.param_dict(), self.bwd.param_dict(),
+                -jnp.exp(self.fwd.A_log), -jnp.exp(self.bwd.A_log),
+                mask=mask, impl=self.impl,
+            )
+            out = out_f + out_b
+        else:
+            mask_b = jnp.flip(mask, axis=1) if mask is not None else None
+            out_f = self.fwd(xz, impl=self.impl, mask=mask)
+            out_b = self.bwd(jnp.flip(xz, axis=1), impl=self.impl, mask=mask_b)
+            out = out_f + jnp.flip(out_b, axis=1)
         if self.if_devide_out:
             out = out / 2
         return self.out_proj(out)
@@ -254,10 +272,19 @@ class MambaDBM(_MambaBase):
         d_in = self.d_inner
         xz = self.in_proj(hidden_states)                      # (b, l, 4*d_in)
         xz_f, xz_b = xz[..., : 2 * d_in], xz[..., 2 * d_in :]
-        mask_b = jnp.flip(mask, axis=1) if mask is not None else None
-        out_f = self.shared(xz_f, impl=self.impl, mask=mask)
-        out_b = self.shared(jnp.flip(xz_b, axis=1), impl=self.impl, mask=mask_b)
-        out = jnp.concatenate([out_f, jnp.flip(out_b, axis=1)], axis=-1)
+        if self.fuse_scan:
+            pd = self.shared.param_dict()
+            A = -jnp.exp(self.shared.A_log)
+            out_f, out_b = mamba_inner_bidir(
+                xz_f, xz_b, pd, pd, A, A, mask=mask, impl=self.impl,
+            )
+            out = jnp.concatenate([out_f, out_b], axis=-1)
+        else:
+            mask_b = jnp.flip(mask, axis=1) if mask is not None else None
+            out_f = self.shared(xz_f, impl=self.impl, mask=mask)
+            out_b = self.shared(jnp.flip(xz_b, axis=1), impl=self.impl,
+                                mask=mask_b)
+            out = jnp.concatenate([out_f, jnp.flip(out_b, axis=1)], axis=-1)
         return self.out_proj(out)
 
 

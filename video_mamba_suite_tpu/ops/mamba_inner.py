@@ -92,3 +92,79 @@ def mamba_inner(
         if out_proj_bias is not None:
             y = y + out_proj_bias.astype(y.dtype)
     return y
+
+def _proj_dt_bc(x, x_proj_weight, dt_proj_weight, d_state, mask):
+    """x_proj → (dt, B, C) with dt projected and mask-forced (shared helper)."""
+    dt_rank = dt_proj_weight.shape[0]
+    x_dbl = jnp.dot(x, x_proj_weight.astype(x.dtype))
+    dt = jnp.dot(x_dbl[..., :dt_rank], dt_proj_weight.astype(x.dtype))
+    if mask is not None:
+        dt = jnp.where(mask[..., None] > 0, dt, MASKED_DELTA)
+    B = x_dbl[..., dt_rank : dt_rank + d_state]
+    C = x_dbl[..., dt_rank + d_state :]
+    return dt, B, C
+
+
+def mamba_inner_bidir(
+    xz_fwd: jax.Array,
+    xz_bwd: jax.Array,
+    fwd: dict,
+    bwd: dict,
+    A_fwd: jax.Array,
+    A_bwd: jax.Array,
+    mask: Optional[jax.Array] = None,
+    impl: str = "auto",
+):
+    """Both directions of a bidirectional mixer in ONE fused scan call.
+
+    The per-direction convs/projections stay separate (they are MXU matmuls
+    XLA schedules anyway), but the two scans are stacked on the channel axis
+    with grouped B/C (G=2), halving scan-kernel dispatches — the dominant
+    cost in video adapters. Exact: channels are independent in the recurrence.
+
+    Args:
+      xz_fwd/xz_bwd: (batch, seqlen, 2·d_inner) per-direction [x; z] streams,
+        both in FORWARD time order (the backward stream is flipped inside).
+        ViM passes the same stream twice; DBM passes its two streams.
+      fwd/bwd: dicts with conv_w, conv_b, x_proj, dt_proj, dt_bias, D
+        (the same dict twice for DBM's shared parameters).
+      A_fwd/A_bwd: (d_inner, d_state), already −exp(A_log).
+
+    Returns (out_fwd, out_bwd): both (batch, seqlen, d_inner), out_bwd
+    already flipped back to forward time order.
+    """
+    d_inner = A_fwd.shape[0]
+    d_state = A_fwd.shape[1]
+    x, z = xz_fwd[..., :d_inner], xz_fwd[..., d_inner : 2 * d_inner]
+    xb_raw = xz_bwd[..., :d_inner]
+    zb_raw = xz_bwd[..., d_inner : 2 * d_inner]
+    if mask is not None:
+        m = mask.astype(xz_fwd.dtype)[..., None]
+        x, z = x * m, z * m
+        xb_raw, zb_raw = xb_raw * m, zb_raw * m
+    x_b = jnp.flip(xb_raw, axis=1)
+    z_b = jnp.flip(zb_raw, axis=1)
+    mask_b = jnp.flip(mask, axis=1) if mask is not None else None
+
+    xf = causal_conv1d(x, fwd["conv_w"], fwd.get("conv_b"), activation="silu")
+    xb = causal_conv1d(x_b, bwd["conv_w"], bwd.get("conv_b"), activation="silu")
+    dt_f, B_f, C_f = _proj_dt_bc(xf, fwd["x_proj"], fwd["dt_proj"], d_state, mask)
+    dt_b, B_b, C_b = _proj_dt_bc(xb, bwd["x_proj"], bwd["dt_proj"], d_state,
+                                 mask_b)
+
+    u2 = jnp.concatenate([xf, xb], axis=-1)
+    dt2 = jnp.concatenate([dt_f, dt_b], axis=-1)
+    z2 = jnp.concatenate([z, z_b], axis=-1)
+    A2 = jnp.concatenate([A_fwd, A_bwd], axis=0)
+    D2 = jnp.concatenate([fwd["D"], bwd["D"]], axis=0)
+    bias2 = jnp.concatenate([fwd["dt_bias"], bwd["dt_bias"]], axis=0)
+    B2 = jnp.stack([B_f, B_b], axis=2)            # (b, l, 2, n)
+    C2 = jnp.stack([C_f, C_b], axis=2)
+
+    y2 = selective_scan(
+        u2, dt2, A2, B2, C2, D=D2, z=z2, delta_bias=bias2,
+        delta_softplus=True, impl=impl,
+    )
+    out_f = y2[..., :d_inner]
+    out_b = jnp.flip(y2[..., d_inner:], axis=1)
+    return out_f, out_b

@@ -133,7 +133,7 @@ def _discretize(u_ref, delta_ref, b_ref, a_t, bias_t, softplus: bool,
     pos = li * chunk + jax.lax.broadcasted_iota(jnp.int32, dt.shape, 0)
     mask = (pos < seqlen).astype(jnp.float32)    # (c, d)
     dt = dt * mask
-    bmat = b_ref[0].astype(jnp.float32)          # (c, n)
+    bmat = b_ref[0, 0].astype(jnp.float32)       # (c, n)
     a = jnp.exp(dt[:, None, :] * a_t[None])      # (c, n, d)
     bu = (dt * u)[:, None, :] * bmat[:, :, None]  # (c, n, d)
     return u, dt_pre, dt, mask, a, bu
@@ -163,7 +163,7 @@ def _fwd_kernel(
     a_cum, h_in = _inclusive_scan(a, bu)
     h = h_in + a_cum * h0[None]                  # (c, n, d) full states
 
-    c_mat = c_ref[0].astype(jnp.float32)         # (c, n)
+    c_mat = c_ref[0, 0].astype(jnp.float32)      # (c, n)
     y = jnp.sum(h * c_mat[:, :, None], axis=1)   # (c, d)
     if has_d:
         y = y + u * d_ref[0].astype(jnp.float32)
@@ -211,7 +211,7 @@ def _bwd_kernel(
     h_prev = jnp.concatenate([h0[None], h[:-1]], axis=0)
 
     g = g_ref[0].astype(jnp.float32)             # (c, d) dL/dout
-    c_mat = c_ref[0].astype(jnp.float32)         # (c, n)
+    c_mat = c_ref[0, 0].astype(jnp.float32)      # (c, n)
 
     if has_z:
         z = z_ref[0].astype(jnp.float32)
@@ -245,7 +245,7 @@ def _bwd_kernel(
     # dB[t,n] = Σ_d dh[t,n,d] · dt·u
     db_ref[0, 0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2).astype(db_ref.dtype)
 
-    bmat = b_ref[0].astype(jnp.float32)          # (c, n)
+    bmat = b_ref[0, 0].astype(jnp.float32)       # (c, n)
     dh_b = jnp.sum(dh * bmat[:, :, None], axis=1)  # Σ_n dh·B (c, d)
     du = dh_b * dt
     if has_d:
@@ -270,12 +270,11 @@ def _pad_args(u, delta, B, C, z, g, chunk, dtile):
     def pad_ld(x):
         return jnp.pad(x, ((0, 0), (0, pad_l), (0, pad_d))) if x is not None else None
 
-    return (
-        pad_ld(u), pad_ld(delta),
-        jnp.pad(B, ((0, 0), (0, pad_l), (0, 0))),
-        jnp.pad(C, ((0, 0), (0, pad_l), (0, 0))),
-        pad_ld(z), pad_ld(g), lp, dp,
-    )
+    # B/C → group-major (G, batch, lp, n): Mosaic needs the last two block
+    # dims tile-aligned, so the group axis cannot sit next to dstate
+    Bp = jnp.pad(B, ((0, 0), (0, pad_l), (0, 0), (0, 0))).transpose(2, 0, 1, 3)
+    Cp = jnp.pad(C, ((0, 0), (0, pad_l), (0, 0), (0, 0))).transpose(2, 0, 1, 3)
+    return (pad_ld(u), pad_ld(delta), Bp, Cp, pad_ld(z), pad_ld(g), lp, dp)
 
 
 def _pad_params(A, D, delta_bias, dim, dp):
@@ -291,15 +290,18 @@ def _pad_params(A, D, delta_bias, dim, dp):
     return At, Dp, biasp
 
 
-def _specs(chunk, dtile, dstate, nchunks, has_z, reverse):
+def _specs(chunk, dtile, dstate, nchunks, has_z, reverse, ngroups=1, ndt=1):
+    tiles_per_group = max(ndt // ngroups, 1)
+
     def ld(b, di, li):
         return (b, nchunks - 1 - li, di) if reverse else (b, li, di)
 
     def ln(b, di, li):
-        return (b, nchunks - 1 - li, 0) if reverse else (b, li, 0)
+        g = di // tiles_per_group
+        return ((g, b, nchunks - 1 - li, 0) if reverse else (g, b, li, 0))
 
     ld_spec = pl.BlockSpec((1, chunk, dtile), ld, memory_space=pltpu.VMEM)
-    ln_spec = pl.BlockSpec((1, chunk, dstate), ln, memory_space=pltpu.VMEM)
+    ln_spec = pl.BlockSpec((1, 1, chunk, dstate), ln, memory_space=pltpu.VMEM)
     z_spec = (
         ld_spec if has_z
         else pl.BlockSpec((1, 1, dtile), lambda b, di, li: (b, 0, di),
@@ -336,6 +338,7 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
                    softplus, chunk, dtile, interpret):
     batch, seqlen, dim = u.shape
     dstate = A.shape[1]
+    ngroups = B.shape[2]
     has_d, has_z = D is not None, z is not None
 
     up, deltap, Bp, Cp, zp, _, lp, dp = _pad_args(u, delta, B, C, z, None, chunk, dtile)
@@ -345,7 +348,8 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
         zp = jnp.zeros((batch, 1, dp), u.dtype)  # dummy, never read
 
     ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec = _specs(
-        chunk, dtile, dstate, nchunks, has_z, reverse=False
+        chunk, dtile, dstate, nchunks, has_z, reverse=False,
+        ngroups=ngroups, ndt=ndt,
     )
     last_spec = pl.BlockSpec((1, dstate, dtile), lambda b, di, li: (b, 0, di),
                              memory_space=pltpu.VMEM)
@@ -392,6 +396,7 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
     dstate = A.shape[1]
     has_d, has_z = D is not None, z is not None
 
+    ngroups = B.shape[2]
     up, deltap, Bp, Cp, zp, gp, lp, dp = _pad_args(
         u, delta, B, C, z, g.astype(jnp.float32), chunk, dtile
     )
@@ -401,7 +406,8 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
         zp = jnp.zeros((batch, 1, dp), u.dtype)
 
     ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec = _specs(
-        chunk, dtile, dstate, nchunks, has_z, reverse=True
+        chunk, dtile, dstate, nchunks, has_z, reverse=True,
+        ngroups=ngroups, ndt=ndt,
     )
     # per-batch accumulators (consecutive revisits only within one (b, di))
     acc_nd = pl.BlockSpec((1, dstate, dtile), lambda b, di, li: (b, 0, di),
@@ -446,8 +452,12 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
     du = du[:, :seqlen, :dim].astype(u.dtype)
     ddelta = ddelta[:, :seqlen, :dim].astype(delta.dtype)
     dA = jnp.sum(dA_bt, axis=0)[:, :dim].T.astype(A.dtype)
-    dB = jnp.sum(dB, axis=1)[:, :seqlen].astype(B.dtype)
-    dC = jnp.sum(dC, axis=1)[:, :seqlen].astype(C.dtype)
+    # per-tile partials → per-group sums: (batch, G, ndt/G, lp, n)
+    tiles_per_group = max(ndt // ngroups, 1)
+    dB = dB.reshape(batch, ngroups, tiles_per_group, lp, dstate).sum(2)
+    dC = dC.reshape(batch, ngroups, tiles_per_group, lp, dstate).sum(2)
+    dB = jnp.swapaxes(dB, 1, 2)[:, :seqlen].astype(B.dtype)
+    dC = jnp.swapaxes(dC, 1, 2)[:, :seqlen].astype(C.dtype)
     dD = jnp.sum(dD_b, axis=(0, 1))[:dim].astype(D.dtype) if has_d else None
     dz = dz[:, :seqlen, :dim].astype(z.dtype) if has_z else None
     dbias = (
@@ -475,17 +485,24 @@ def selective_scan_pallas(
     dtile: int = DEFAULT_DTILE,
     interpret: Optional[bool] = None,
 ):
-    """Pallas production path. Real A, per-step B/C (batch, seqlen, dstate)
-    only — the shape family every Mamba module uses (grouped B/C must be
-    expanded by the caller)."""
-    if B.ndim == 4:
-        if B.shape[2] != 1:
-            raise NotImplementedError("grouped B/C: expand before the kernel")
-        B = B[:, :, 0]
-    if C.ndim == 4:
-        if C.shape[2] != 1:
-            raise NotImplementedError("grouped B/C: expand before the kernel")
-        C = C[:, :, 0]
+    """Pallas production path: real A, per-step B/C — (batch, seqlen, dstate)
+    or grouped (batch, seqlen, G, dstate) with each d-group's width a
+    multiple of dtile (the reference kernel's grouped variable B/C,
+    selective_scan_fwd_kernel.cuh BOOL_SWITCH variants). Grouping also fuses
+    the two directions of bidirectional mixers into one kernel call."""
+    squeeze_g = False
+    if B.ndim == 3:
+        B = B[:, :, None]
+        squeeze_g = True
+    if C.ndim == 3:
+        C = C[:, :, None]
+    ngroups = B.shape[2]
+    dim = u.shape[-1]
+    if ngroups > 1 and (dim % ngroups or (dim // ngroups) % dtile):
+        raise NotImplementedError(
+            "grouped B/C needs group width divisible by dtile; expand or use "
+            "impl='assoc'"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     seq_padded = _round_up(u.shape[1], 8)
@@ -524,7 +541,7 @@ def _short_discretize(u_ref, delta_ref, b_ref, a_t, bias_t, softplus, seqlen):
     pos = jax.lax.broadcasted_iota(jnp.int32, dt.shape, 1)
     mask = (pos < seqlen).astype(jnp.float32)
     dt = dt * mask
-    bmat = b_ref[...].astype(jnp.float32)              # (bt, c, n)
+    bmat = b_ref[0].astype(jnp.float32)                # (bt, c, n)
     a = jnp.exp(dt[:, :, None, :] * a_t[None, None])   # (bt, c, n, d)
     bu = (dt * u)[:, :, None, :] * bmat[..., None]
     return u, dt_pre, dt, mask, a, bu
@@ -540,7 +557,7 @@ def _short_fwd_kernel(
     u, _, dt, _, a, bu = _short_discretize(
         u_ref, delta_ref, b_ref, a_t, bias_t, softplus, seqlen)
     _, h = _inclusive_scan(a, bu, axis=1)              # (bt, c, n, d)
-    c_mat = c_ref[...].astype(jnp.float32)             # (bt, c, n)
+    c_mat = c_ref[0].astype(jnp.float32)               # (bt, c, n)
     y = jnp.sum(h * c_mat[..., None], axis=2)          # (bt, c, d)
     if has_d:
         y = y + u * d_ref[0].astype(jnp.float32)[None]
@@ -570,7 +587,7 @@ def _short_bwd_kernel(
          jax.lax.slice_in_dim(h, 0, c - 1, axis=1)], axis=1,
     )
     g = g_ref[...].astype(jnp.float32)                 # (bt, c, d)
-    c_mat = c_ref[...].astype(jnp.float32)             # (bt, c, n)
+    c_mat = c_ref[0].astype(jnp.float32)               # (bt, c, n)
     if has_z:
         z = z_ref[...].astype(jnp.float32)
         sig = jax.nn.sigmoid(z)
@@ -594,7 +611,7 @@ def _short_bwd_kernel(
     da_ref[0] = jnp.sum(da_el * a * dt[:, :, None, :], axis=(0, 1))
     db_ref[0] = jnp.sum(dh * (dt * u)[:, :, None, :], axis=3).astype(
         db_ref.dtype)
-    bmat = b_ref[...].astype(jnp.float32)
+    bmat = b_ref[0].astype(jnp.float32)
     dh_b = jnp.sum(dh * bmat[..., None], axis=2)       # (bt, c, d)
     du = dh_b * dt
     if has_d:
@@ -615,14 +632,18 @@ def _short_pad(u, delta, B, C, z, g, bt, c, dtile):
     bp = _round_up(b, bt)
     dp = _round_up(d, dtile)
 
-    def pad3(x, last=None):
+    def pad3(x):
         if x is None:
             return None
-        return jnp.pad(x, ((0, bp - b), (0, c - l), (0, 0)) if last else
-                       ((0, bp - b), (0, c - l), (0, dp - d)))
+        return jnp.pad(x, ((0, bp - b), (0, c - l), (0, dp - d)))
 
-    return (pad3(u), pad3(delta), pad3(B, last=True), pad3(C, last=True),
-            pad3(z), pad3(g), bp, dp)
+    def pad4(x):
+        # → group-major (G, bp, c, n)
+        return jnp.pad(
+            x, ((0, bp - b), (0, c - l), (0, 0), (0, 0))
+        ).transpose(2, 0, 1, 3)
+
+    return (pad3(u), pad3(delta), pad4(B), pad4(C), pad3(z), pad3(g), bp, dp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
@@ -637,6 +658,7 @@ def _short_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
                     softplus, bt, dtile, interpret):
     batch, seqlen, dim = u.shape
     dstate = A.shape[1]
+    ngroups = B.shape[2]
     has_d, has_z = D is not None, z is not None
     c = _round_up(seqlen, 8)
     up, deltap, Bp, Cp, zp, _, bp, dp = _short_pad(
@@ -645,10 +667,12 @@ def _short_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
     if zp is None:
         zp = jnp.zeros((bp, 1, dp), u.dtype)
     nbt, ndt = bp // bt, dp // dtile
+    tiles_per_group = max(ndt // ngroups, 1)
 
     ld = pl.BlockSpec((bt, c, dtile), lambda bi, di: (bi, 0, di),
                       memory_space=pltpu.VMEM)
-    ln = pl.BlockSpec((bt, c, dstate), lambda bi, di: (bi, 0, 0),
+    ln = pl.BlockSpec((1, bt, c, dstate),
+                      lambda bi, di: (di // tiles_per_group, bi, 0, 0),
                       memory_space=pltpu.VMEM)
     zs = ld if has_z else pl.BlockSpec((bt, 1, dtile),
                                        lambda bi, di: (bi, 0, di),
@@ -691,6 +715,7 @@ def _short_core_bwd(softplus, bt, dtile, interpret, residuals, cotangents):
     g, _ = cotangents
     batch, seqlen, dim = u.shape
     dstate = A.shape[1]
+    ngroups = B.shape[2]
     has_d, has_z = D is not None, z is not None
     c = _round_up(seqlen, 8)
     up, deltap, Bp, Cp, zp, gp, bp, dp = _short_pad(
@@ -699,10 +724,12 @@ def _short_core_bwd(softplus, bt, dtile, interpret, residuals, cotangents):
     if zp is None:
         zp = jnp.zeros((bp, 1, dp), u.dtype)
     nbt, ndt = bp // bt, dp // dtile
+    tiles_per_group = max(ndt // ngroups, 1)
 
     ld = pl.BlockSpec((bt, c, dtile), lambda bi, di: (bi, 0, di),
                       memory_space=pltpu.VMEM)
-    ln = pl.BlockSpec((bt, c, dstate), lambda bi, di: (bi, 0, 0),
+    ln = pl.BlockSpec((1, bt, c, dstate),
+                      lambda bi, di: (di // tiles_per_group, bi, 0, 0),
                       memory_space=pltpu.VMEM)
     zs = ld if has_z else pl.BlockSpec((bt, 1, dtile),
                                        lambda bi, di: (bi, 0, di),
@@ -744,8 +771,11 @@ def _short_core_bwd(softplus, bt, dtile, interpret, residuals, cotangents):
     du = du[:batch, :seqlen, :dim].astype(u.dtype)
     ddelta = ddelta[:batch, :seqlen, :dim].astype(delta.dtype)
     dA = jnp.sum(dA_p, axis=0)[:, :dim].T.astype(A.dtype)
-    dB = jnp.sum(dB_p, axis=0)[:batch, :seqlen].astype(B.dtype)
-    dC = jnp.sum(dC_p, axis=0)[:batch, :seqlen].astype(C.dtype)
+    # per-tile partials (ndt, bp, c, n) → per-group (bp, c, G, n)
+    dB_p = dB_p.reshape(ngroups, tiles_per_group, bp, c, dstate).sum(1)
+    dC_p = dC_p.reshape(ngroups, tiles_per_group, bp, c, dstate).sum(1)
+    dB = dB_p.transpose(1, 2, 0, 3)[:batch, :seqlen].astype(B.dtype)
+    dC = dC_p.transpose(1, 2, 0, 3)[:batch, :seqlen].astype(C.dtype)
     dD = jnp.sum(dD_p, axis=(0, 1))[:dim].astype(D.dtype) if has_d else None
     dz = dz[:batch, :seqlen, :dim].astype(z.dtype) if has_z else None
     dbias = (jnp.sum(dbias_p, axis=(0, 1))[:dim].astype(delta_bias.dtype)
