@@ -77,3 +77,41 @@ def test_video_classification_real_decode(tmp_path):
     assert s["frames"].shape == (2, 4, 32, 32, 3)  # 2 views × 4 frames
     assert s["frames"].dtype == np.uint8
     assert s["label"] == 0
+
+
+def test_tas_batch_generator_files(tmp_path):
+    """File-backed TAS generator (batch_gen.py semantics) on fabricated data."""
+    from video_mamba_suite_tpu.tasks.tas.data import TasBatchGenerator
+
+    rng = np.random.default_rng(0)
+    feats_dir = tmp_path / "features"
+    gt_dir = tmp_path / "groundTruth"
+    feats_dir.mkdir()
+    gt_dir.mkdir()
+    actions = {"pour": 0, "stir": 1, "crack": 2}
+    vids = []
+    for i in range(3):
+        L = 20 + 4 * i
+        np.save(feats_dir / f"vid{i}.npy",
+                rng.standard_normal((8, L)).astype(np.float32))
+        labels = rng.choice(list(actions), L)
+        (gt_dir / f"vid{i}.txt").write_text("\n".join(labels) + "\n")
+        vids.append(f"vid{i}.txt")
+    (tmp_path / "train.bundle").write_text("\n".join(vids) + "\n")
+
+    gen = TasBatchGenerator(
+        num_classes=3, actions_dict=actions, gt_path=str(gt_dir),
+        features_path=str(feats_dir), sample_rate=2,
+    )
+    gen.read_data(str(tmp_path / "train.bundle"))
+    assert gen.has_next()
+    feats, targets, mask, names = gen.next_batch(2)
+    assert feats.shape[0] == 2 and feats.shape[2] == 8
+    assert (targets[mask > 0] >= 0).all() and (targets[mask > 0] < 3).all()
+    assert (targets[mask == 0] == -100).all()
+    # sample_rate halves the lengths
+    assert mask[0].sum() in (10, 11, 12, 13, 14)
+    gen.next_batch(2)
+    assert not gen.has_next()
+    gen.reset()
+    assert gen.has_next()
