@@ -101,3 +101,27 @@ def test_data_parallel_training_step():
         jax.tree_util.tree_map(lambda a, b: a - b, p2, params), 0.0,
     )
     assert delta > 0
+
+
+def test_tensor_parallel_mamba_matches_replicated():
+    """d_inner sharded over a 'model' axis: TP forward == plain forward."""
+    from video_mamba_suite_tpu.models import MambaVim
+    from video_mamba_suite_tpu.parallel.tensor_parallel import (
+        tp_mamba_forward,
+        tp_shard_params,
+    )
+
+    mesh = make_mesh(8, axes=("model",))
+    model = MambaVim(d_model=16, d_state=4, expand=2, impl="assoc",
+                     fuse_scan=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16))
+    mask = jnp.concatenate([jnp.ones((2, 9)), jnp.zeros((2, 3))], axis=1)
+    params = model.init(jax.random.PRNGKey(1), x)
+    want = model.apply(params, x, mask)
+
+    tp_params = tp_shard_params(mesh, params)
+    got = jax.jit(
+        lambda p, x, m: tp_mamba_forward(mesh, p, x, m)
+    )(tp_params, x, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -9,6 +9,7 @@ which the reference lacks entirely).
 
 from .mesh import make_mesh, shard_batch, replicate_params, data_parallel_sharding
 from .ring_scan import ring_selective_scan
+from .tensor_parallel import tp_mamba_forward, tp_shard_params
 
 __all__ = [
     "make_mesh",
@@ -16,4 +17,6 @@ __all__ = [
     "replicate_params",
     "data_parallel_sharding",
     "ring_selective_scan",
+    "tp_mamba_forward",
+    "tp_shard_params",
 ]
