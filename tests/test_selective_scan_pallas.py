@@ -156,3 +156,26 @@ def test_pallas_determinism():
         again = f(u, delta, A, B, C)
         for x, y in zip(first, again):
             assert jnp.array_equal(x, y)
+
+
+def test_pallas_short_path_determinism():
+    """Bit-stability of the batch-tiled short path (race-condition stress,
+    the test_causal_conv1d_race_condition analogue for this kernel)."""
+    rng = jax.random.PRNGKey(11)
+    u, delta, A, B, C, D, z, bias, g = _inputs(
+        rng, 16, 12, 20, 8, jnp.float32, True, True, True
+    )
+
+    def loss(u, delta, A, B, C):
+        out = selective_scan_pallas(
+            u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+            delta_softplus=True, interpret=True,
+        )
+        return jnp.sum(out * g)
+
+    f = jax.jit(jax.grad(loss, argnums=(0, 2, 3)))
+    first = f(u, delta, A, B, C)
+    for _ in range(3):
+        again = f(u, delta, A, B, C)
+        for x, y in zip(first, again):
+            assert jnp.array_equal(x, y)
