@@ -10,7 +10,12 @@ Usage: python benchmarks/benchmark_generation.py [--d-model 768]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,12 @@ Usage: python benchmarks/speed_test.py [--what mixer|vivim|timemamba]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import jax
 import jax.numpy as jnp
