@@ -40,6 +40,16 @@ def make_mesh(
             shape = (n_devices // seq, seq)
         else:
             raise ValueError("pass an explicit shape for >2 mesh axes")
+    need = int(np.prod(shape))
+    if len(devices) < need:
+        raise ValueError(
+            f"make_mesh: need {need} devices for mesh shape {tuple(shape)} "
+            f"{tuple(axes)} but only {len(devices)} are visible on backend "
+            f"'{jax.default_backend()}'. For CPU simulation set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=<n> AND "
+            "jax.config.update('jax_platforms','cpu') before any device "
+            "query (the axon TPU plugin ignores JAX_PLATFORMS)."
+        )
     arr = np.array(devices).reshape(shape)
     return Mesh(arr, tuple(axes))
 

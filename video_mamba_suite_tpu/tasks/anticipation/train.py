@@ -16,6 +16,7 @@ import optax
 
 from ...utils.optim import make_optimizer
 from ...utils.schedules import make_schedule
+from ...utils.trainer import TrainerCore
 from .metrics import perframe_average_precision, topk_recall
 from .model import LSTRMamba
 
@@ -33,13 +34,15 @@ def anticipation_loss(scores: jax.Array, targets: jax.Array,
 class AnticipationTrainer:
     def __init__(self, model: LSTRMamba, lr: float = 7e-5,
                  weight_decay: float = 5e-5, warmup_steps: int = 50,
-                 total_steps: int = 5000, seed: int = 0):
+                 total_steps: int = 5000, seed: int = 0,
+                 use_mesh: bool = False):
         self.model = model
         sched = make_schedule("cosine", lr, total_steps, warmup_steps)
         self.tx = make_optimizer("adamw", lr=sched, weight_decay=weight_decay)
         self.rng = jax.random.PRNGKey(seed)
         self.params = None
         self.opt_state = None
+        self.core = TrainerCore(use_mesh=use_mesh)
 
         model_, tx = self.model, self.tx
 
@@ -66,17 +69,38 @@ class AnticipationTrainer:
 
     def init(self, visual, motion):
         self.rng, k = jax.random.split(self.rng)
-        self.params = self.model.init(
+        self.params = self.core.prepare(self.model.init(
             {"params": k, "dropout": k}, visual, motion, deterministic=True
-        )
-        self.opt_state = self.tx.init(self.params)
+        ))
+        self.opt_state = self.core.prepare(self.tx.init(self.params))
+
+    def state_dict(self):
+        return dict(params=self.params, opt_state=self.opt_state)
+
+    def load_state_dict(self, state):
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+
+    def save(self, directory: str, step: int):
+        """Checkpoint (reference engines/base save/resume contract)."""
+        self.core.save(directory, step, self.state_dict())
+
+    def restore(self, directory: str, visual, motion, step=None):
+        if self.params is None:
+            self.init(visual, motion)
+        state = self.core.restore(directory, self.state_dict(), step)
+        if state is not None:
+            self.load_state_dict(state)
+        return self.core.latest_step(directory)
 
     def train_step(self, visual, motion, targets) -> float:
         if self.params is None:
             self.init(visual, motion)
         self.rng, k = jax.random.split(self.rng)
+        visual_s, motion_s, targets_s = self.core.shard(
+            (visual, motion, targets))
         self.params, self.opt_state, loss = self._step(
-            self.params, self.opt_state, k, visual, motion, targets
+            self.params, self.opt_state, k, visual_s, motion_s, targets_s
         )
         return float(loss)
 

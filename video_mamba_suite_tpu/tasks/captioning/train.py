@@ -17,6 +17,7 @@ import numpy as np
 import optax
 
 from ...utils.optim import make_optimizer
+from ...utils.trainer import TrainerCore
 from .criterion import pdvc_losses
 from .matcher import hungarian_match, match_cost
 from .metrics import evaluate_dvc, soda_c
@@ -25,13 +26,17 @@ from .model import PDVC
 
 class CaptioningTrainer:
     def __init__(self, model: PDVC, lr: float = 5e-5, weight_decay: float = 1e-4,
-                 grad_clip: float = 0.1, seed: int = 0):
+                 grad_clip: float = 0.1, seed: int = 0, use_mesh: bool = False):
         self.model = model
         self.tx = make_optimizer("adamw", lr=lr, weight_decay=weight_decay,
                                  grad_clip=grad_clip)
         self.rng = jax.random.PRNGKey(seed)
         self.params = None
         self.opt_state = None
+        # NB: the Hungarian host callback forces its operands replicated
+        # under GSPMD (an implicit all-gather) — correct, matches the
+        # reference's rank-local matching cost profile.
+        self.core = TrainerCore(use_mesh=use_mesh)
 
         model_, tx = self.model, self.tx
 
@@ -89,16 +94,37 @@ class CaptioningTrainer:
 
     def init(self, feats, mask):
         self.rng, k = jax.random.split(self.rng)
-        self.params = self.model.init(
+        self.params = self.core.prepare(self.model.init(
             {"params": k, "dropout": k}, feats, mask, method="init_all"
-        )
-        self.opt_state = self.tx.init(self.params)
+        ))
+        self.opt_state = self.core.prepare(self.tx.init(self.params))
+
+    def state_dict(self):
+        return dict(params=self.params, opt_state=self.opt_state)
+
+    def load_state_dict(self, state):
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+
+    def save(self, directory: str, step: int):
+        """Checkpoint (reference model-best.pth + info.json, train.py:54-120)."""
+        self.core.save(directory, step, self.state_dict())
+
+    def restore(self, directory: str, feats, mask, step=None):
+        if self.params is None:
+            self.init(feats, mask)
+        state = self.core.restore(directory, self.state_dict(), step)
+        if state is not None:
+            self.load_state_dict(state)
+        return self.core.latest_step(directory)
 
     def train_step(self, feats, mask, gt_boxes, gt_labels, gt_valid,
                    captions) -> Dict[str, float]:
         if self.params is None:
             self.init(feats, mask)
         self.rng, k = jax.random.split(self.rng)
+        feats, mask, gt_boxes, gt_labels, gt_valid, captions = self.core.shard(
+            (feats, mask, gt_boxes, gt_labels, gt_valid, captions))
         self.params, self.opt_state, losses = self._step(
             self.params, self.opt_state, k, feats, mask,
             gt_boxes, gt_labels, gt_valid, captions,

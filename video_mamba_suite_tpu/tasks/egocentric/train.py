@@ -20,6 +20,7 @@ from ...models.clip import CLIP
 from ...parallel.mesh import make_mesh, replicate_params, shard_batch
 from ...utils.optim import make_optimizer
 from ...utils.schedules import make_schedule
+from ...utils.trainer import TrainerCore
 from .losses import clip_loss
 
 
@@ -35,6 +36,7 @@ class ClipPretrainer:
         self.params = None
         self.opt_state = None
         self.mesh = make_mesh(axes=("data",)) if use_mesh else None
+        self.core = TrainerCore(mesh=self.mesh)
 
         model_ = self.model
         tx = self.tx
@@ -83,3 +85,22 @@ class ClipPretrainer:
     def encode(self, videos, texts):
         img, txt, scale = self._encode(self.params, videos, texts)
         return np.asarray(img), np.asarray(txt), float(scale)
+
+    def state_dict(self):
+        return dict(params=self.params, opt_state=self.opt_state)
+
+    def load_state_dict(self, state):
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+
+    def save(self, directory: str, step: int):
+        """Checkpoint (reference latest/best files, main_lavila_pretrain.py)."""
+        self.core.save(directory, step, self.state_dict())
+
+    def restore(self, directory: str, videos, texts, step=None):
+        if self.params is None:
+            self.init(videos, texts)
+        state = self.core.restore(directory, self.state_dict(), step)
+        if state is not None:
+            self.load_state_dict(state)
+        return self.core.latest_step(directory)

@@ -18,6 +18,7 @@ from ...models.vivim import ViViM
 from ...utils.ema import ema_init, ema_update
 from ...utils.optim import no_weight_decay_mask
 from ...utils.schedules import make_schedule
+from ...utils.trainer import TrainerCore
 from .augment import mixup_cutmix, one_hot_smooth
 from .engine import merge_multi_view, topk_accuracy
 from .optim import scale_by_layer_decay
@@ -35,7 +36,7 @@ class RecognitionTrainer:
                  warmup_steps: int = 100, total_steps: int = 10000,
                  mixup_alpha: float = 0.8, cutmix_alpha: float = 1.0,
                  smoothing: float = 0.1, ema_decay: float = 0.9999,
-                 seed: int = 0):
+                 seed: int = 0, use_mesh: bool = False):
         assert model.num_classes == num_classes
         self.model = model
         self.num_classes = num_classes
@@ -52,6 +53,7 @@ class RecognitionTrainer:
         self.opt_state = None
         self.tx = None
         self.ema = None
+        self.core = TrainerCore(use_mesh=use_mesh)
 
     def init(self, videos):
         self.rng, k = jax.random.split(self.rng)
@@ -68,7 +70,8 @@ class RecognitionTrainer:
             mask=no_weight_decay_mask(self.params),
         ))
         self.tx = optax.chain(*chain)
-        self.opt_state = self.tx.init(self.params)
+        self.params = self.core.prepare(self.params)
+        self.opt_state = self.core.prepare(self.tx.init(self.params))
         self.ema = ema_init(self.params, self.ema_decay)
 
         model, tx = self.model, self.tx
@@ -107,12 +110,34 @@ class RecognitionTrainer:
         self._step = step
         self._predict = predict
 
+    def state_dict(self):
+        return dict(params=self.params, opt_state=self.opt_state,
+                    ema=self.ema.params)
+
+    def load_state_dict(self, state):
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.ema = self.ema._replace(params=state["ema"])
+
+    def save(self, directory: str, step: int):
+        """Checkpoint (reference utils.save_model w/ EMA, utils.py)."""
+        self.core.save(directory, step, self.state_dict())
+
+    def restore(self, directory: str, videos, step=None):
+        if self.params is None:
+            self.init(videos[:1])
+        state = self.core.restore(directory, self.state_dict(), step)
+        if state is not None:
+            self.load_state_dict(state)
+        return self.core.latest_step(directory)
+
     def train_step(self, videos, labels) -> float:
         if self.params is None:
             self.init(videos[:1])
         self.rng, k = jax.random.split(self.rng)
+        videos_s, labels_s = self.core.shard((videos, labels))
         self.params, self.opt_state, loss = self._step(
-            self.params, self.opt_state, k, videos, labels
+            self.params, self.opt_state, k, videos_s, labels_s
         )
         self.ema = ema_update(self.ema, self.params)
         return float(loss)

@@ -18,6 +18,7 @@ import optax
 from ...utils.ema import EmaState, ema_init, ema_update
 from ...utils.optim import make_optimizer
 from ...utils.schedules import make_schedule
+from ...utils.trainer import TrainerCore
 from .data import collate_tal
 from .metrics import ANETdetection
 from .model import ActionMambaDetector, decode_single_video, label_points, tal_losses
@@ -69,6 +70,7 @@ class TalTrainer:
         max_num_gt: int = 32,
         seed: int = 0,
         test_cfg: Optional[dict] = None,
+        use_mesh: bool = False,
     ):
         kwargs = dict(
             input_dim=input_dim, num_classes=num_classes,
@@ -105,6 +107,7 @@ class TalTrainer:
         self.loss_norm = jnp.asarray(init_loss_norm, jnp.float32)
         self._step_fn = None
         self._fwd_fn = None
+        self.core = TrainerCore(use_mesh=use_mesh)
 
     def _level_lengths(self, T: int) -> List[int]:
         ls = [T]
@@ -114,10 +117,10 @@ class TalTrainer:
 
     def init(self, feats, mask):
         self.rng, k = jax.random.split(self.rng)
-        self.params = self.model.init(
+        self.params = self.core.prepare(self.model.init(
             {"params": k, "dropout": k}, feats, mask, deterministic=True
-        )
-        self.opt_state = self.tx.init(self.params)
+        ))
+        self.opt_state = self.core.prepare(self.tx.init(self.params))
         self.ema = ema_init(self.params)
 
         points_np = self.point_gen(self._level_lengths(feats.shape[1]))
@@ -164,6 +167,8 @@ class TalTrainer:
         if self.params is None:
             self.init(feats, mask)
         self.rng, k = jax.random.split(self.rng)
+        feats, mask, segs, labels, valid = self.core.shard(
+            (feats, mask, segs, labels, valid))
         self.params, self.opt_state, self.loss_norm, losses = self._step_fn(
             self.params, self.opt_state, self.loss_norm, k,
             feats, mask, segs, labels, valid,

@@ -17,6 +17,7 @@ import numpy as np
 import optax
 
 from ...utils.schedules import ReduceLROnPlateau
+from ...utils.trainer import TrainerCore
 from .data import IGNORE_INDEX, TasBatchGenerator, collate
 from .metrics import evaluate_segmentation
 from .model import MaTransformer
@@ -53,7 +54,8 @@ class TasTrainer:
                  num_layers: int = 10, num_f_maps: int = 64,
                  num_decoders: int = 3, channel_masking_rate: float = 0.3,
                  lr: float = 5e-4, weight_decay: float = 1e-5,
-                 mixer: str = "vim", impl: str = "auto", seed: int = 0):
+                 mixer: str = "vim", impl: str = "auto", seed: int = 0,
+                 use_mesh: bool = False):
         self.model = MaTransformer(
             num_decoders=num_decoders, num_layers=num_layers,
             num_f_maps=num_f_maps, input_dim=input_dim,
@@ -73,6 +75,7 @@ class TasTrainer:
         )(learning_rate=lr)
         self.params = None
         self.opt_state = None
+        self.core = TrainerCore(use_mesh=use_mesh)
 
         @jax.jit
         def _train_step(params, opt_state, rng, feats, targets, mask):
@@ -98,10 +101,29 @@ class TasTrainer:
 
     def init(self, feats, mask):
         self.rng, k = jax.random.split(self.rng)
-        self.params = self.model.init(
+        self.params = self.core.prepare(self.model.init(
             {"params": k, "dropout": k}, feats, mask, deterministic=True
-        )
-        self.opt_state = self.tx.init(self.params)
+        ))
+        self.opt_state = self.core.prepare(self.tx.init(self.params))
+
+    def state_dict(self):
+        return dict(params=self.params, opt_state=self.opt_state)
+
+    def load_state_dict(self, state):
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+
+    def save(self, directory: str, step: int):
+        """Checkpoint (reference: TAS epoch .model/.opt files, model.py:441)."""
+        self.core.save(directory, step, self.state_dict())
+
+    def restore(self, directory: str, feats, mask, step=None):
+        if self.params is None:
+            self.init(feats, mask)
+        state = self.core.restore(directory, self.state_dict(), step)
+        if state is not None:
+            self.load_state_dict(state)
+        return self.core.latest_step(directory)
 
     def set_lr_scale(self, scale: float):
         if scale != self._lr_scale:
@@ -118,8 +140,9 @@ class TasTrainer:
             if self.params is None:
                 self.init(feats, mask)
             self.rng, k = jax.random.split(self.rng)
+            feats_s, targets_s, mask_s = self.core.shard((feats, targets, mask))
             self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state, k, feats, targets, mask
+                self.params, self.opt_state, k, feats_s, targets_s, mask_s
             )
             epoch_loss += float(loss)
             nb += 1

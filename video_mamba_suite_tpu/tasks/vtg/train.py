@@ -15,6 +15,7 @@ import numpy as np
 import optax
 
 from ...utils.optim import make_optimizer
+from ...utils.trainer import TrainerCore
 from .data import collate_vtg
 from .losses import vtg_losses
 from .metrics import compute_hl_ap, compute_hl_hit1, compute_mr_ap, compute_mr_r1
@@ -32,7 +33,8 @@ class VtgTrainer:
                  depth: int = 4, mamba_type: str = "vim", lr: float = 1e-4,
                  weight_decay: float = 1e-4, grad_clip: float = 0.1,
                  max_q_l: int = 32, max_v_l: int = 75, impl: str = "auto",
-                 input_dropout: float = 0.5, seed: int = 0):
+                 input_dropout: float = 0.5, seed: int = 0,
+                 use_mesh: bool = False):
         self.model = UniVTGMamba(
             txt_dim=txt_dim, vid_dim=vid_dim, embed_dim=embed_dim,
             depth=depth, mamba_type=mamba_type, impl=impl,
@@ -44,6 +46,7 @@ class VtgTrainer:
         self.rng = jax.random.PRNGKey(seed)
         self.params = None
         self.opt_state = None
+        self.core = TrainerCore(use_mesh=use_mesh)
 
         model = self.model
         tx = self.tx
@@ -81,7 +84,27 @@ class VtgTrainer:
             batch["src_txt"], batch["src_txt_mask"],
             batch["src_vid"], batch["src_vid_mask"], deterministic=True,
         )
-        self.opt_state = self.tx.init(self.params)
+        self.params = self.core.prepare(self.params)
+        self.opt_state = self.core.prepare(self.tx.init(self.params))
+
+    def state_dict(self):
+        return dict(params=self.params, opt_state=self.opt_state)
+
+    def load_state_dict(self, state):
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+
+    def save(self, directory: str, step: int):
+        """Checkpoint (reference --resume contract, main/train_mr.py)."""
+        self.core.save(directory, step, self.state_dict())
+
+    def restore(self, directory: str, batch, step=None):
+        if self.params is None:
+            self.init(batch)
+        state = self.core.restore(directory, self.state_dict(), step)
+        if state is not None:
+            self.load_state_dict(state)
+        return self.core.latest_step(directory)
 
     def train_epoch(self, samples: List[dict], batch_size: int = 4) -> Dict:
         order = np.random.permutation(len(samples))
@@ -95,7 +118,7 @@ class VtgTrainer:
                 self.init(batch)
             self.rng, k = jax.random.split(self.rng)
             self.params, self.opt_state, losses = self._step(
-                self.params, self.opt_state, k, batch
+                self.params, self.opt_state, k, self.core.shard(batch)
             )
             for k_, v in losses.items():
                 agg[k_] = agg.get(k_, 0.0) + float(v)
