@@ -80,3 +80,41 @@ def create_relevancy_matrix(vis_classes: np.ndarray, txt_classes: np.ndarray
     """Binary relevancy from class agreement (the EK100 pipeline builds this
     from verb/noun annotations; tests use class labels)."""
     return (vis_classes[:, None] == txt_classes[None, :]).astype(np.float64)
+
+
+# --- EK100 CLS helpers (avion/utils/evaluation_ek100cls.py) -----------------
+
+
+def get_marginal_indexes(action_groups: np.ndarray, num_groups: int = None):
+    """For each verb/noun id, the action ids containing it
+    (evaluation_ek100cls.py:7-23).
+
+    action_groups: (num_actions,) array giving each action's verb (or noun)
+    id. Returns a list indexed by group id; empty groups map to [0] like the
+    reference."""
+    action_groups = np.asarray(action_groups)
+    if num_groups is None:
+        num_groups = int(action_groups.max()) + 1
+    out = []
+    for g in range(num_groups):
+        vals = np.nonzero(action_groups == g)[0]
+        out.append(vals if len(vals) else np.array([0]))
+    return out
+
+
+def marginalize(probs: np.ndarray, indexes) -> np.ndarray:
+    """Sum action probabilities into verb/noun marginals
+    (evaluation_ek100cls.py:26-30). probs (N, num_actions) → (N, num_groups).
+    """
+    return np.stack([probs[:, ilist].sum(1) for ilist in indexes], axis=1)
+
+
+def get_mean_accuracy(cm: np.ndarray):
+    """(per-class mean accuracy, overall accuracy) from a confusion matrix
+    (evaluation_ek100cls.py:33-41)."""
+    per_class = [
+        cm[i, i] / cm[i, :].sum() if cm[i, :].sum() > 0 else 0.0
+        for i in range(len(cm))
+    ]
+    return 100 * float(np.mean(per_class)), 100 * float(
+        np.trace(cm) / max(np.sum(cm), 1))
