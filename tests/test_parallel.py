@@ -125,3 +125,128 @@ def test_tensor_parallel_mamba_matches_replicated():
     )(tp_params, x, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ring_scan_reverse_matches_flipped_ref():
+    """reverse=True == flip → scan → flip of the reference (the backward
+    direction of bidirectional mixers)."""
+    mesh = make_mesh(8, axes=("seq",))
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    b, l, d, n = 2, 64, 12, 4
+    u = jax.random.normal(ks[0], (b, l, d))
+    delta = 0.5 * jax.random.uniform(ks[1], (b, l, d))
+    A = -0.5 * jax.random.uniform(ks[2], (d, n))
+    B = jax.random.normal(ks[3], (b, l, n))
+    C = jax.random.normal(ks[4], (b, l, n))
+    z = jax.random.normal(ks[5], (b, l, d))
+    D = jax.random.normal(ks[6], (d,))
+
+    flip = lambda x: jnp.flip(x, axis=1)  # noqa: E731
+    ref = flip(selective_scan_ref(
+        flip(u), flip(delta), A, flip(B), flip(C), D=D, z=flip(z),
+        delta_softplus=True,
+    ))
+    out = ring_selective_scan(
+        mesh, u, delta, A, B, C, D=D, z=z, delta_softplus=True, reverse=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_ring_scan_pallas_impl_matches_ref():
+    """The ring with the Pallas local kernel (interpret mode on CPU),
+    exercising the kernel's initial_state input + exact last-state VJP."""
+    mesh = make_mesh(4, axes=("seq",))
+    ks = jax.random.split(jax.random.PRNGKey(4), 6)
+    b, l, d, n = 1, 4 * 96, 8, 4  # local shard 96 > SHORT_SEQ_MAX → chunked
+    u = jax.random.normal(ks[0], (b, l, d))
+    delta = 0.5 * jax.random.uniform(ks[1], (b, l, d))
+    A = -0.5 * jax.random.uniform(ks[2], (d, n))
+    B = jax.random.normal(ks[3], (b, l, n))
+    C = jax.random.normal(ks[4], (b, l, n))
+    g = jax.random.normal(ks[5], (b, l, d))
+
+    ref = selective_scan_ref(u, delta, A, B, C, delta_softplus=True)
+    out = ring_selective_scan(mesh, u, delta, A, B, C, delta_softplus=True,
+                              impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    def loss(fn):
+        def f(u, delta):
+            return jnp.sum(fn(u, delta) * g)
+        return jax.grad(f, argnums=(0, 1))
+
+    gr = loss(lambda u_, dt_: selective_scan_ref(
+        u_, dt_, A, B, C, delta_softplus=True))(u, delta)
+    gp = loss(lambda u_, dt_: ring_selective_scan(
+        mesh, u_, dt_, A, B, C, delta_softplus=True, impl="pallas"))(u, delta)
+    for a_, r_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_ring_mamba_vim_matches_unsharded():
+    """Full sequence-parallel ViM mixer (conv halo + both ring directions)
+    == the plain MambaVim forward, values and parameter grads."""
+    from video_mamba_suite_tpu.models import MambaVim
+    from video_mamba_suite_tpu.parallel import ring_mamba_vim
+
+    mesh = make_mesh(4, axes=("seq",))
+    d_model, l = 12, 64
+    model = MambaVim(d_model=d_model, d_state=4, expand=2, impl="ref")
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, l, d_model))
+    params = model.init(jax.random.PRNGKey(6), x)
+
+    want = model.apply(params, x)
+    got = ring_mamba_vim(mesh, params, x, impl="assoc")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+    g = jax.random.normal(jax.random.PRNGKey(7), want.shape)
+    gr = jax.grad(lambda p: jnp.sum(model.apply(p, x) * g))(params)
+    gp = jax.jit(jax.grad(
+        lambda p: jnp.sum(ring_mamba_vim(mesh, p, x, impl="assoc") * g)
+    ))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3),
+        gp, gr,
+    )
+
+
+def test_ring_data_seq_mesh_train_step():
+    """A ViM block trains over a ('data','seq') mesh; loss matches the
+    unsharded step (VERDICT r1 item 6 'Done =' criterion)."""
+    import optax
+
+    from video_mamba_suite_tpu.models import MambaVim
+    from video_mamba_suite_tpu.parallel import ring_mamba_vim
+
+    mesh = make_mesh(8, axes=("data", "seq"), shape=(2, 4))
+    d_model, l, batch = 8, 32, 4
+    model = MambaVim(d_model=d_model, d_state=4, expand=1, impl="ref")
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    x = jax.random.normal(ks[0], (batch, l, d_model))
+    y = jax.random.normal(ks[1], (batch, l, d_model))
+    params = model.init(ks[2], x[:1])
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def loss_sharded(p, x, y):
+        return jnp.mean((ring_mamba_vim(mesh, p, x, impl="assoc") - y) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(loss_sharded)(params, x, y)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    from jax.sharding import NamedSharding
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", None)))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data", "seq", None)))
+    new_params, opt_state, loss = step(params, opt_state, xs, ys)
+    ref_loss = jnp.mean((model.apply(params, x) - y) ** 2)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-3)
+    assert np.isfinite(float(loss))

@@ -140,7 +140,7 @@ def _discretize(u_ref, delta_ref, b_ref, a_t, bias_t, softplus: bool,
 
 
 def _fwd_kernel(
-    u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref,
+    u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref, h0_ref,
     out_ref, states_ref, last_ref,
     h_carry,
     *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
@@ -150,7 +150,10 @@ def _fwd_kernel(
 
     @pl.when(li == 0)
     def _():
-        h_carry[...] = jnp.zeros_like(h_carry)
+        # initial state: zeros normally; an incoming prefix when the caller
+        # chains shards (sequence parallelism) or resumes a stream — the
+        # smem_running_prefix seeding of the CUDA kernel (:251-254)
+        h_carry[...] = h0_ref[0]
 
     a_t = a_ref[...].astype(jnp.float32)         # (n, d) — A tile, transposed
     bias_t = bias_ref[0].astype(jnp.float32)     # (1, d) broadcasts over c
@@ -182,8 +185,9 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref,
-    states_ref, g_ref,
+    states_ref, g_ref, glast_ref,
     du_ref, ddelta_ref, da_ref, db_ref, dc_ref, dd_ref, dz_ref, dbias_ref,
+    dh0_ref,
     dh_carry,
     *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
     chunk: int, seqlen: int,
@@ -192,7 +196,9 @@ def _bwd_kernel(
 
     @pl.when(li == 0)
     def _():
-        dh_carry[...] = jnp.zeros_like(dh_carry)
+        # adjoint seeded with the last-state cotangent (exact, unlike the
+        # reference SelectiveScanFn which drops it)
+        dh_carry[...] = glast_ref[0]
         da_ref[0] = jnp.zeros_like(da_ref[0])
         dd_ref[0] = jnp.zeros_like(dd_ref[0])
         dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
@@ -238,6 +244,11 @@ def _bwd_kernel(
     a_shift = jnp.concatenate([a[1:], jnp.ones_like(a[:1])], axis=0)
     dh = _reverse_scan(a_shift, s)               # (c, n, d)
     dh_carry[...] = _row(a, 0) * _row(dh, 0)     # carry to previous chunk
+
+    @pl.when(li == nchunks - 1)
+    def _():
+        # after chunk 0 the carry IS ∂L/∂h0 (the incoming-prefix cotangent)
+        dh0_ref[0] = dh_carry[...]
 
     da_el = dh * h_prev                          # ∂L/∂a_t (c, n, d)
     da_ref[0] += jnp.sum(da_el * a * dt[:, None, :], axis=0)  # → dA (n, d)
@@ -325,16 +336,26 @@ _COMPILER_PARAMS = dict(
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def _scan_core(u, delta, A, B, C, D, z, delta_bias,
+def _pad_h0(h0, batch, dim, dstate, dp, u_dtype):
+    """External (batch, dim, dstate) initial state → internal padded
+    (batch, dstate, dp) fp32 (zeros when absent)."""
+    if h0 is None:
+        return jnp.zeros((batch, dstate, dp), jnp.float32)
+    h0t = jnp.swapaxes(h0.astype(jnp.float32), 1, 2)   # (batch, dstate, dim)
+    return jnp.pad(h0t, ((0, 0), (0, 0), (0, dp - dim)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _scan_core(u, delta, A, B, C, D, z, delta_bias, h0,
                softplus: bool, chunk: int, dtile: int, interpret: bool):
     out, _, last = _scan_fwd_impl(
-        u, delta, A, B, C, D, z, delta_bias, softplus, chunk, dtile, interpret
+        u, delta, A, B, C, D, z, delta_bias, h0,
+        softplus, chunk, dtile, interpret
     )
     return out, last
 
 
-def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
+def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
                    softplus, chunk, dtile, interpret):
     batch, seqlen, dim = u.shape
     dstate = A.shape[1]
@@ -344,6 +365,7 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
     up, deltap, Bp, Cp, zp, _, lp, dp = _pad_args(u, delta, B, C, z, None, chunk, dtile)
     nchunks, ndt = lp // chunk, dp // dtile
     At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
+    h0p = _pad_h0(h0, batch, dim, dstate, dp, u.dtype)
     if zp is None:
         zp = jnp.zeros((batch, 1, dp), u.dtype)  # dummy, never read
 
@@ -362,7 +384,7 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
         kernel,
         grid=(batch, ndt, nchunks),
         in_specs=[ld_spec, ld_spec, a_spec, ln_spec, ln_spec, vec_spec, z_spec,
-                  vec_spec],
+                  vec_spec, last_spec],
         out_specs=[ld_spec, states_spec, last_spec],
         out_shape=[
             jax.ShapeDtypeStruct((batch, lp, dp), u.dtype),
@@ -372,25 +394,27 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias,
         scratch_shapes=[pltpu.VMEM((dstate, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
         interpret=interpret,
-    )(up, deltap, At, Bp, Cp, Dp, zp, biasp)
+    )(up, deltap, At, Bp, Cp, Dp, zp, biasp, h0p)
 
     out = out[:, :seqlen, :dim]
     last_state = jnp.swapaxes(last, 1, 2)[:, :dim]  # (batch, dim, dstate)
     return out, states, last_state
 
 
-def _scan_core_fwd(u, delta, A, B, C, D, z, delta_bias,
+def _scan_core_fwd(u, delta, A, B, C, D, z, delta_bias, h0,
                    softplus, chunk, dtile, interpret):
     out, states, last = _scan_fwd_impl(
-        u, delta, A, B, C, D, z, delta_bias, softplus, chunk, dtile, interpret
+        u, delta, A, B, C, D, z, delta_bias, h0,
+        softplus, chunk, dtile, interpret
     )
-    return (out, last), (u, delta, A, B, C, D, z, delta_bias, states)
+    return (out, last), (u, delta, A, B, C, D, z, delta_bias, h0, states)
 
 
 def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
-    u, delta, A, B, C, D, z, delta_bias, states = residuals
-    g, _g_last = cotangents  # last-state grad not propagated (reference parity,
-    # selective_scan_interface.py:79-82)
+    u, delta, A, B, C, D, z, delta_bias, h0, states = residuals
+    g, g_last = cotangents  # both propagated exactly (the reference
+    # SelectiveScanFn drops the last-state grad, interface.py:79-82; the
+    # sequence-parallel ring needs it)
 
     batch, seqlen, dim = u.shape
     dstate = A.shape[1]
@@ -402,6 +426,7 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
     )
     nchunks, ndt = lp // chunk, dp // dtile
     At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
+    glastp = _pad_h0(g_last, batch, dim, dstate, dp, u.dtype)
     if zp is None:
         zp = jnp.zeros((batch, 1, dp), u.dtype)
 
@@ -423,17 +448,20 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
         memory_space=pltpu.VMEM,
     )
 
+    glast_spec = pl.BlockSpec((1, dstate, dtile), lambda b, di, li: (b, 0, di),
+                              memory_space=pltpu.VMEM)
+
     kernel = functools.partial(
         _bwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
         nchunks=nchunks, chunk=chunk, seqlen=seqlen,
     )
-    du, ddelta, dA_bt, dB, dC, dD_b, dz, dbias_b = pl.pallas_call(
+    du, ddelta, dA_bt, dB, dC, dD_b, dz, dbias_b, dh0 = pl.pallas_call(
         kernel,
         grid=(batch, ndt, nchunks),
         in_specs=[ld_spec, ld_spec, a_spec, ln_spec, ln_spec, vec_spec, z_spec,
-                  vec_spec, states_spec, ld_spec],
+                  vec_spec, states_spec, ld_spec, glast_spec],
         out_specs=[ld_spec, ld_spec, acc_nd, bc_spec, bc_spec, acc_vec,
-                   ld_spec, acc_vec],
+                   ld_spec, acc_vec, glast_spec],
         out_shape=[
             jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # du
             jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # ddelta
@@ -443,11 +471,12 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
             jax.ShapeDtypeStruct((batch, 1, dp), jnp.float32),       # dD per-b
             jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # dz
             jax.ShapeDtypeStruct((batch, 1, dp), jnp.float32),       # dbias per-b
+            jax.ShapeDtypeStruct((batch, dstate, dp), jnp.float32),  # dh0
         ],
         scratch_shapes=[pltpu.VMEM((dstate, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
         interpret=interpret,
-    )(up, deltap, At, Bp, Cp, Dp, zp, biasp, states, gp)
+    )(up, deltap, At, Bp, Cp, Dp, zp, biasp, states, gp, glastp)
 
     du = du[:, :seqlen, :dim].astype(u.dtype)
     ddelta = ddelta[:, :seqlen, :dim].astype(delta.dtype)
@@ -464,7 +493,11 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
         jnp.sum(dbias_b, axis=(0, 1))[:dim].astype(delta_bias.dtype)
         if delta_bias is not None else None
     )
-    return (du, ddelta, dA, dB, dC, dD, dz, dbias)
+    dh0 = (
+        jnp.swapaxes(dh0, 1, 2)[:, :dim].astype(h0.dtype)
+        if h0 is not None else None
+    )
+    return (du, ddelta, dA, dB, dC, dD, dz, dbias, dh0)
 
 
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
@@ -484,12 +517,19 @@ def selective_scan_pallas(
     chunk: int = DEFAULT_CHUNK,
     dtile: int = DEFAULT_DTILE,
     interpret: Optional[bool] = None,
+    initial_state: Optional[jax.Array] = None,
 ):
     """Pallas production path: real A, per-step B/C — (batch, seqlen, dstate)
     or grouped (batch, seqlen, G, dstate) with each d-group's width a
     multiple of dtile (the reference kernel's grouped variable B/C,
     selective_scan_fwd_kernel.cuh BOOL_SWITCH variants). Grouping also fuses
-    the two directions of bidirectional mixers into one kernel call."""
+    the two directions of bidirectional mixers into one kernel call.
+
+    initial_state: optional (batch, dim, dstate) incoming prefix state (the
+    sequence-parallel shard-chaining input); forces the chunked path, whose
+    last_state is exactly differentiable (and dL/d(initial_state) flows).
+    The short path's last_state stays stop_gradient'ed.
+    """
     squeeze_g = False
     if B.ndim == 3:
         B = B[:, :, None]
@@ -506,21 +546,22 @@ def selective_scan_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     seq_padded = _round_up(u.shape[1], 8)
-    if seq_padded <= SHORT_SEQ_MAX:
+    if seq_padded <= SHORT_SEQ_MAX and initial_state is None:
         # batch-tiled single-chunk path for tiny sequences (video adapters)
-        bt = max(1, 128 // seq_padded)
+        bt = max(1, SHORT_BT_ELEMS // seq_padded)
         out, last = _short_core(
             u, delta, A, B, C, D, z, delta_bias,
             delta_softplus, bt, dtile, interpret,
         )
+        last = lax.stop_gradient(last)
     else:
         chunk = min(chunk, seq_padded)
         out, last = _scan_core(
-            u, delta, A, B, C, D, z, delta_bias,
+            u, delta, A, B, C, D, z, delta_bias, initial_state,
             delta_softplus, chunk, dtile, interpret,
         )
     if return_last_state:
-        return out, lax.stop_gradient(last)
+        return out, last
     return out
 
 # ---------------------------------------------------------------------------
@@ -531,10 +572,19 @@ def selective_scan_pallas(
 # degenerates to thousands of steps with ~16 KB blocks — DMA-latency bound at
 # ~10% of HBM bandwidth. This path tiles the BATCH into each grid step
 # instead: one chunk covers the whole sequence (no carried state, no
-# checkpoints), arrays are (bt, c, n, d), and the scan runs over axis 1.
+# checkpoints).
+#
+# The recurrence runs as a SEQUENTIAL unrolled loop over the c (≤64)
+# timesteps, not a Hillis–Steele scan: per-(b,n,d) lane the sequential form
+# does 2·c FMAs where the log-depth scan does 2·c·log2(c) — and with the
+# batch tiled into the block, each step still fills the VPU
+# (bt·n·d ≈ 32–131K lanes). This is the same work-vs-depth tradeoff the
+# CUDA kernel makes per thread (selective_scan_fwd_kernel.cuh:214-248:
+# sequential within a thread's items, scan only across threads). It also
+# avoids materializing the (bt, c, n, d) discretized tensors.
 
 
-def _short_discretize(u_ref, delta_ref, b_ref, a_t, bias_t, softplus, seqlen):
+def _short_prep(u_ref, delta_ref, b_ref, c_ref, bias_t, softplus, seqlen):
     u = u_ref[...].astype(jnp.float32)                 # (bt, c, d)
     dt_pre = delta_ref[...].astype(jnp.float32) + bias_t[None]
     dt = jax.nn.softplus(dt_pre) if softplus else dt_pre
@@ -542,9 +592,13 @@ def _short_discretize(u_ref, delta_ref, b_ref, a_t, bias_t, softplus, seqlen):
     mask = (pos < seqlen).astype(jnp.float32)
     dt = dt * mask
     bmat = b_ref[0].astype(jnp.float32)                # (bt, c, n)
-    a = jnp.exp(dt[:, :, None, :] * a_t[None, None])   # (bt, c, n, d)
-    bu = (dt * u)[:, :, None, :] * bmat[..., None]
-    return u, dt_pre, dt, mask, a, bu
+    cmat = c_ref[0].astype(jnp.float32)                # (bt, c, n)
+    return u, dt_pre, dt, mask, bmat, cmat
+
+
+def _row1(x, t: int):
+    """x[:, t] for static t (Mosaic-safe static slice)."""
+    return jax.lax.squeeze(jax.lax.slice_in_dim(x, t, t + 1, axis=1), (1,))
 
 
 def _short_fwd_kernel(
@@ -554,21 +608,28 @@ def _short_fwd_kernel(
 ):
     a_t = a_ref[...].astype(jnp.float32)               # (n, d)
     bias_t = bias_ref[0].astype(jnp.float32)           # (d,) → broadcast
-    u, _, dt, _, a, bu = _short_discretize(
-        u_ref, delta_ref, b_ref, a_t, bias_t, softplus, seqlen)
-    _, h = _inclusive_scan(a, bu, axis=1)              # (bt, c, n, d)
-    c_mat = c_ref[0].astype(jnp.float32)               # (bt, c, n)
-    y = jnp.sum(h * c_mat[..., None], axis=2)          # (bt, c, d)
+    u, _, dt, _, bmat, cmat = _short_prep(
+        u_ref, delta_ref, b_ref, c_ref, bias_t, softplus, seqlen)
+    bt, c, d = u.shape
+    n = a_t.shape[0]
+    dtu = dt * u                                       # (bt, c, d)
+
+    h = jnp.zeros((bt, n, d), jnp.float32)
+    ys = []
+    for t in range(c):
+        a_step = jnp.exp(_row1(dt, t)[:, None, :] * a_t[None])  # (bt, n, d)
+        bu = _row1(dtu, t)[:, None, :] * _row1(bmat, t)[:, :, None]
+        h = a_step * h + bu
+        ys.append(jnp.sum(h * _row1(cmat, t)[:, :, None], axis=1)[:, None])
+    y = jnp.concatenate(ys, axis=1)                    # (bt, c, d)
+
     if has_d:
         y = y + u * d_ref[0].astype(jnp.float32)[None]
     if has_z:
         z = z_ref[...].astype(jnp.float32)
         y = y * (z * jax.nn.sigmoid(z))
     out_ref[...] = y.astype(out_ref.dtype)
-    c = h.shape[1]
-    last_ref[...] = jax.lax.squeeze(
-        jax.lax.slice_in_dim(h, c - 1, c, axis=1), (1,)
-    )
+    last_ref[...] = h
 
 
 def _short_bwd_kernel(
@@ -578,21 +639,31 @@ def _short_bwd_kernel(
 ):
     a_t = a_ref[...].astype(jnp.float32)
     bias_t = bias_ref[0].astype(jnp.float32)
-    u, dt_pre, dt, mask, a, bu = _short_discretize(
-        u_ref, delta_ref, b_ref, a_t, bias_t, softplus, seqlen)
-    _, h = _inclusive_scan(a, bu, axis=1)              # (bt, c, n, d)
-    bt, c = h.shape[0], h.shape[1]
-    h_prev = jnp.concatenate(
-        [jnp.zeros_like(jax.lax.slice_in_dim(h, 0, 1, axis=1)),
-         jax.lax.slice_in_dim(h, 0, c - 1, axis=1)], axis=1,
-    )
+    u, dt_pre, dt, mask, bmat, cmat = _short_prep(
+        u_ref, delta_ref, b_ref, c_ref, bias_t, softplus, seqlen)
+    bt, c, d = u.shape
+    n = a_t.shape[0]
+    dtu = dt * u
+
+    # forward recompute, keeping per-step a and h in VMEM/registers
+    # (c · bt·n·d fp32 each — the short path's whole point is c is tiny)
+    h = jnp.zeros((bt, n, d), jnp.float32)
+    hs, a_steps = [], []
+    for t in range(c):
+        a_step = jnp.exp(_row1(dt, t)[:, None, :] * a_t[None])
+        bu = _row1(dtu, t)[:, None, :] * _row1(bmat, t)[:, :, None]
+        h = a_step * h + bu
+        a_steps.append(a_step)
+        hs.append(h)
+
     g = g_ref[...].astype(jnp.float32)                 # (bt, c, d)
-    c_mat = c_ref[0].astype(jnp.float32)               # (bt, c, n)
     if has_z:
         z = z_ref[...].astype(jnp.float32)
         sig = jax.nn.sigmoid(z)
         silu = z * sig
-        y_pre = jnp.sum(h * c_mat[..., None], axis=2)
+        ys = [jnp.sum(hs[t] * _row1(cmat, t)[:, :, None], axis=1)[:, None]
+              for t in range(c)]
+        y_pre = jnp.concatenate(ys, axis=1)
         if has_d:
             y_pre = y_pre + u * d_ref[0].astype(jnp.float32)[None]
         dz_ref[...] = (g * y_pre * (sig + silu * (1.0 - sig))).astype(
@@ -600,26 +671,35 @@ def _short_bwd_kernel(
         gy = g * silu
     else:
         gy = g
-    dc_ref[0] = jnp.sum(gy[:, :, None, :] * h, axis=3).astype(dc_ref.dtype)
-    s = c_mat[..., None] * gy[:, :, None, :]           # (bt, c, n, d)
-    a_shift = jnp.concatenate(
-        [jax.lax.slice_in_dim(a, 1, c, axis=1),
-         jnp.ones_like(jax.lax.slice_in_dim(a, 0, 1, axis=1))], axis=1,
-    )
-    dh = _reverse_scan(a_shift, s, axis=1)             # (bt, c, n, d)
-    da_el = dh * h_prev
-    da_ref[0] = jnp.sum(da_el * a * dt[:, :, None, :], axis=(0, 1))
-    db_ref[0] = jnp.sum(dh * (dt * u)[:, :, None, :], axis=3).astype(
-        db_ref.dtype)
-    bmat = b_ref[0].astype(jnp.float32)
-    dh_b = jnp.sum(dh * bmat[..., None], axis=2)       # (bt, c, d)
-    du = dh_b * dt
+
+    # reverse sequential adjoint: dh_t = C_t ⊗ gy_t + a_{t+1} · dh_{t+1}
+    dh_carry = jnp.zeros((bt, n, d), jnp.float32)
+    da_acc = jnp.zeros((n, d), jnp.float32)
+    dcs, dbs, ddts, dus = [None] * c, [None] * c, [None] * c, [None] * c
+    for t in range(c - 1, -1, -1):
+        gy_t = _row1(gy, t)                            # (bt, d)
+        dh = _row1(cmat, t)[:, :, None] * gy_t[:, None, :] + dh_carry
+        h_prev = hs[t - 1] if t > 0 else jnp.zeros((bt, n, d), jnp.float32)
+        da_el = dh * h_prev * a_steps[t]               # (bt, n, d)
+        da_acc = da_acc + jnp.sum(da_el * _row1(dt, t)[:, None, :], axis=0)
+        dcs[t] = jnp.sum(gy_t[:, None, :] * hs[t], axis=2)[:, None]  # (bt,1,n)
+        dbs[t] = jnp.sum(dh * _row1(dtu, t)[:, None, :], axis=2)[:, None]
+        dh_b = jnp.sum(dh * _row1(bmat, t)[:, :, None], axis=1)  # (bt, d)
+        ddts[t] = (jnp.sum(da_el * a_t[None], axis=1)
+                   + dh_b * _row1(u, t))[:, None]
+        dus[t] = (dh_b * _row1(dt, t))[:, None]
+        dh_carry = a_steps[t] * dh
+
+    da_ref[0] = da_acc
+    dc_ref[0] = jnp.concatenate(dcs, axis=1).astype(dc_ref.dtype)
+    db_ref[0] = jnp.concatenate(dbs, axis=1).astype(db_ref.dtype)
+    du = jnp.concatenate(dus, axis=1)                  # (bt, c, d)
     if has_d:
         dval = d_ref[0].astype(jnp.float32)
         du = du + gy * dval[None]
         dd_ref[0] = jnp.sum(gy * u, axis=(0, 1), keepdims=False)[None]
     du_ref[...] = du.astype(du_ref.dtype)
-    ddt = jnp.sum(da_el * a * a_t[None, None], axis=2) + dh_b * u
+    ddt = jnp.concatenate(ddts, axis=1)
     if softplus:
         ddt = ddt * jax.nn.sigmoid(dt_pre)
     ddt = ddt * mask
@@ -628,6 +708,11 @@ def _short_bwd_kernel(
 
 
 def _short_pad(u, delta, B, C, z, g, bt, c, dtile):
+    """Pad to tile multiples, batch-leading (batch, c, dim) layout.
+
+    (A time-leading (c, batch, dim) variant — free per-step plane slices in
+    the kernel — was measured SLOWER on v5e: the host-side transposes cost
+    more than the sublane-shift slices they remove.)"""
     b, l, d = u.shape
     bp = _round_up(b, bt)
     dp = _round_up(d, dtile)
@@ -718,6 +803,9 @@ def _short_core_bwd(softplus, bt, dtile, interpret, residuals, cotangents):
     ngroups = B.shape[2]
     has_d, has_z = D is not None, z is not None
     c = _round_up(seqlen, 8)
+    # the bwd keeps per-step h/a lists (2·c·bt·n·dtile fp32) in VMEM — cap
+    # its batch tile independently of the fwd's
+    bt = min(bt, max(1, SHORT_BT_ELEMS_BWD // c))
     up, deltap, Bp, Cp, zp, gp, bp, dp = _short_pad(
         u, delta, B, C, z, g.astype(jnp.float32), bt, c, dtile)
     At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
@@ -786,3 +874,5 @@ def _short_core_bwd(softplus, bt, dtile, interpret, residuals, cotangents):
 _short_core.defvjp(_short_core_fwd, _short_core_bwd)
 
 SHORT_SEQ_MAX = 64  # sequences padded to ≤ this take the batch-tiled path
+SHORT_BT_ELEMS = 512       # fwd batch-tile: bt = SHORT_BT_ELEMS // c
+SHORT_BT_ELEMS_BWD = 128   # bwd cap (per-step state lists live in VMEM)

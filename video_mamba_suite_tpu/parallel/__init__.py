@@ -8,7 +8,7 @@ which the reference lacks entirely).
 """
 
 from .mesh import make_mesh, shard_batch, replicate_params, data_parallel_sharding
-from .ring_scan import ring_selective_scan
+from .ring_scan import ring_mamba_vim, ring_selective_scan
 from .tensor_parallel import tp_mamba_forward, tp_shard_params
 
 __all__ = [
@@ -16,6 +16,7 @@ __all__ = [
     "shard_batch",
     "replicate_params",
     "data_parallel_sharding",
+    "ring_mamba_vim",
     "ring_selective_scan",
     "tp_mamba_forward",
     "tp_shard_params",
