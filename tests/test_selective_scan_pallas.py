@@ -179,3 +179,91 @@ def test_pallas_short_path_determinism():
         again = f(u, delta, A, B, C)
         for x, y in zip(first, again):
             assert jnp.array_equal(x, y)
+
+
+@pytest.mark.parametrize("dim,seqlen", [(128, 24), (96, 24), (384, 160)])
+def test_pallas_grouped_narrow_widths(dim, seqlen):
+    """Grouped B/C with group widths below (or not divisible by) the default
+    d-tile: the wrapper shrinks the tile or channel-pads each group — the
+    expand=1 DBM configs that r1 silently dropped to assoc."""
+    rng = jax.random.PRNGKey(dim + seqlen)
+    b, n, G = 2, 4, 2
+    ks = jax.random.split(rng, 8)
+    u = jax.random.normal(ks[0], (b, seqlen, dim))
+    delta = 0.5 * jax.random.uniform(ks[1], (b, seqlen, dim))
+    A = -0.5 * jax.random.uniform(ks[2], (dim, n))
+    B = jax.random.normal(ks[3], (b, seqlen, G, n))
+    C = jax.random.normal(ks[4], (b, seqlen, G, n))
+    D = jax.random.normal(ks[5], (dim,))
+    z = jax.random.normal(ks[6], (b, seqlen, dim))
+    bias = 0.5 * jax.random.uniform(ks[7], (dim,))
+    g = jax.random.normal(ks[7], (b, seqlen, dim))
+
+    kw = dict(D=D, z=z, delta_bias=bias, delta_softplus=True)
+    ref = selective_scan_ref(u, delta, A, B, C, **kw)
+    got = selective_scan_pallas(u, delta, A, B, C, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    gr = jax.grad(lambda *a: jnp.sum(
+        selective_scan_ref(*a, **kw) * g), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C)
+    gp = jax.grad(lambda *a: jnp.sum(
+        selective_scan_pallas(*a, **kw) * g), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C)
+    for a_, r_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_pallas_initial_state_matches_split_scan():
+    """Scanning [x1; x2] in one call == scanning x2 seeded with x1's last
+    state (the sequence-parallel shard-chaining contract), incl. gradients
+    through initial_state."""
+    rng = jax.random.PRNGKey(7)
+    b, l, d, n = 1, 192, 8, 4
+    ks = jax.random.split(rng, 6)
+    u = jax.random.normal(ks[0], (b, l, d))
+    delta = 0.5 * jax.random.uniform(ks[1], (b, l, d))
+    A = -0.5 * jax.random.uniform(ks[2], (d, n))
+    B = jax.random.normal(ks[3], (b, l, n))
+    C = jax.random.normal(ks[4], (b, l, n))
+    h = l // 2
+
+    full, full_last = selective_scan_pallas(
+        u, delta, A, B, C, delta_softplus=True, return_last_state=True)
+    o1, last1 = selective_scan_pallas(
+        u[:, :h], delta[:, :h], A, B[:, :h], C[:, :h],
+        delta_softplus=True, return_last_state=True)
+    o2, last2 = selective_scan_pallas(
+        u[:, h:], delta[:, h:], A, B[:, h:], C[:, h:],
+        delta_softplus=True, return_last_state=True, initial_state=last1)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([o1, o2], 1)),
+                               np.asarray(full), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(last2), np.asarray(full_last),
+                               rtol=2e-4, atol=2e-4)
+
+    # gradient through initial_state: d/dh0 of sum(out2) vs finite check
+    # against the ref scan seeded analytically
+    g = jax.random.normal(ks[5], (b, l - h, d))
+
+    def via_pallas(h0):
+        out = selective_scan_pallas(
+            u[:, h:], delta[:, h:], A, B[:, h:], C[:, h:],
+            delta_softplus=True, initial_state=h0)
+        return jnp.sum(out * g)
+
+    def via_ref(h0):
+        # fold h0: y_t += C_t · (∏_{s≤t} a_s) h0
+        dtf = jax.nn.softplus(delta[:, h:].astype(jnp.float32))
+        out = selective_scan_ref(u[:, h:], delta[:, h:], A, B[:, h:],
+                                 C[:, h:], delta_softplus=True)
+        decay = jnp.exp(jnp.cumsum(dtf, axis=1)[..., None] * A[None, None])
+        corr = jnp.einsum("bldn,bdn,bln->bld", decay, h0, C[:, h:])
+        return jnp.sum((out + corr) * g)
+
+    h0 = np.asarray(last1)
+    gp = jax.grad(via_pallas)(jnp.asarray(h0))
+    gr = jax.grad(via_ref)(jnp.asarray(h0))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=3e-3, atol=3e-3)

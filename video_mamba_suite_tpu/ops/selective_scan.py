@@ -239,11 +239,9 @@ def selective_scan(
             and jax.default_backend() == "tpu"
         )
         if use_pallas and B.ndim == 4 and B.shape[2] > 1:
-            # grouped B/C: each d-group must tile evenly (see pallas wrapper)
-            from .selective_scan_pallas import DEFAULT_DTILE
-
-            dim, G = u.shape[-1], B.shape[2]
-            use_pallas = dim % G == 0 and (dim // G) % DEFAULT_DTILE == 0
+            # grouped B/C: the pallas wrapper shrinks its d-tile or channel-
+            # pads narrow groups, so only divisibility of dim by G is needed
+            use_pallas = u.shape[-1] % B.shape[2] == 0
         impl = "pallas" if use_pallas else "assoc"
     if impl == "pallas":
         from .selective_scan_pallas import selective_scan_pallas

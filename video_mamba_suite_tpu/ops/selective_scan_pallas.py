@@ -538,11 +538,52 @@ def selective_scan_pallas(
         C = C[:, :, None]
     ngroups = B.shape[2]
     dim = u.shape[-1]
-    if ngroups > 1 and (dim % ngroups or (dim // ngroups) % dtile):
-        raise NotImplementedError(
-            "grouped B/C needs group width divisible by dtile; expand or use "
-            "impl='assoc'"
-        )
+    if ngroups > 1 and dim % ngroups:
+        raise NotImplementedError("grouped B/C needs dim divisible by G")
+    if ngroups > 1:
+        width = dim // ngroups
+        if width % dtile:
+            # shrink the d-tile to a divisor of the group width, or — for
+            # widths below a lane tile — zero-pad every group's channels to
+            # 128 (padded lanes carry u=0 ⇒ bu=0 ⇒ y=0: exact identities).
+            # This lifts the r1 restriction that silently forced expand=1
+            # DBM mixers off the fused path.
+            dt_eff = dtile
+            while dt_eff > 128 and width % dt_eff:
+                dt_eff //= 2
+            if width % dt_eff == 0:
+                dtile = dt_eff
+            else:
+                wp = _round_up(width, 128)
+                dtile = 128
+
+                def padg(x):
+                    if x is None:
+                        return None
+                    xg = x.reshape(x.shape[:-1] + (ngroups, width))
+                    pads = [(0, 0)] * (xg.ndim - 1) + [(0, wp - width)]
+                    return jnp.pad(xg, pads).reshape(
+                        x.shape[:-1] + (ngroups * wp,))
+
+                out = selective_scan_pallas(
+                    padg(u), padg(delta),
+                    padg(A.T).T if A.ndim == 2 else A,
+                    B, C,
+                    D=padg(D), z=padg(z), delta_bias=padg(delta_bias),
+                    delta_softplus=delta_softplus,
+                    return_last_state=return_last_state,
+                    chunk=chunk, dtile=dtile, interpret=interpret,
+                    initial_state=(
+                        padg(initial_state.swapaxes(1, 2)).swapaxes(1, 2)
+                        if initial_state is not None else None),
+                )
+                def unpad(y):
+                    yg = y.reshape(y.shape[:-1] + (ngroups, wp))
+                    return yg[..., :width].reshape(y.shape[:-1] + (dim,))
+                if return_last_state:
+                    o, last = out
+                    return unpad(o), unpad(last.swapaxes(1, 2)).swapaxes(1, 2)
+                return unpad(out)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     seq_padded = _round_up(u.shape[1], 8)

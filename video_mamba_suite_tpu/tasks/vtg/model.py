@@ -89,21 +89,36 @@ class UniVTGMamba(nn.Module):
 
     @nn.compact
     def __call__(self, src_txt, src_txt_mask, src_vid, src_vid_mask,
-                 deterministic: bool = True):
-        """txt (B, Lt, Dt), vid (B, Lv, Dv), masks (B, L) → out dict."""
+                 src_cls=None, src_cls_mask=None, deterministic: bool = True):
+        """txt (B, Lt, Dt), vid (B, Lv, Dv), masks (B, L) → out dict.
+
+        src_cls/src_cls_mask: optional class-name token features (the VLP
+        zero-shot TAL path, univtg_mamba.py:306-317,382-384): projected by
+        the text projector and weighted-pooled into out['cls_mem_proj'] —
+        they do NOT enter the encoder."""
         relu_args = [True] * 3
         relu_args[self.n_input_proj - 1] = False
 
-        def proj(name, x):
-            for i in range(self.n_input_proj):
-                x = LinearLayer(
+        def make_proj(name):
+            layers = [
+                LinearLayer(
                     self.embed_dim, use_ln=True, dropout=self.input_dropout,
                     relu=relu_args[i], name=f"{name}{i}",
-                )(x, deterministic=deterministic)
-            return x
+                )
+                for i in range(self.n_input_proj)
+            ]
 
-        vid = proj("vid_proj", src_vid)
-        txt = proj("txt_proj", src_txt)
+            def apply(x):
+                for layer in layers:
+                    x = layer(x, deterministic=deterministic)
+                return x
+
+            return apply
+
+        vid_projector = make_proj("vid_proj")
+        txt_projector = make_proj("txt_proj")
+        vid = vid_projector(src_vid)
+        txt = txt_projector(src_txt)
 
         type_emb = nn.Embed(2, self.embed_dim, name="token_type")(
             jnp.concatenate(
@@ -165,18 +180,21 @@ class UniVTGMamba(nn.Module):
         )
         pred_spans = coord * jnp.asarray([-1.0, 1.0])[None, None]
 
-        txt_pool = WeightedPool(self.embed_dim, name="weightedpool")(
-            txt, src_txt_mask
-        )[:, None]                                     # (B, 1, D)
+        wpool = WeightedPool(self.embed_dim, name="weightedpool")
+        txt_pool = wpool(txt, src_txt_mask)[:, None]   # (B, 1, D)
         vid_proj = vid                                  # pre-encoder (:380)
         sim = _cosine(vid_proj, txt_pool) + jnp.where(
             src_vid_mask > 0, 0.0, -1e4
         )
-        return dict(
+        out = dict(
             pred_logits=class_prob, pred_spans=pred_spans,
             src_vid_mask=src_vid_mask, vid_mem_proj=vid_proj,
             txt_mem_proj=txt_pool, saliency_scores=sim,
         )
+        if src_cls is not None:
+            cls = txt_projector(src_cls)  # shared text projector + pool
+            out["cls_mem_proj"] = wpool(cls, src_cls_mask)
+        return out
 
 
 def _safe_norm(x, axis=-1, eps=1e-8):
