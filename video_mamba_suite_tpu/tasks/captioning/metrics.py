@@ -3,7 +3,7 @@
 Reference: /root/reference/video-mamba-suite/video-dense-captioning/
 densevid_eval3/ (the 2018/2021 ActivityNet scorers) + eval_soda.py. Numpy
 implementations of BLEU-4, ROUGE-L and CIDEr-D; METEOR is replaced by a
-synonym-free harmonic-mean variant (`meteor_lite`, no WordNet in this
+exact+Porter-stem implementation (`meteor.py`; no WordNet in this
 environment — documented deviation). `evaluate_dvc` matches predictions to
 GT per tIoU (2018-scorer style); `soda_c` runs the SODA dynamic-programming
 optimal story matching with tIoU × caption-score rewards.
@@ -16,6 +16,8 @@ from collections import Counter, defaultdict
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+
+from .meteor import meteor
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
@@ -187,7 +189,7 @@ def evaluate_dvc(
             [bleu4(h, r) for h, r in zip(matched_hyps, matched_refs)]
         ))
         out["METEOR"] = 100 * float(np.mean(
-            [meteor_lite(h, r) for h, r in zip(matched_hyps, matched_refs)]
+            [meteor(h, r) for h, r in zip(matched_hyps, matched_refs)]
         ))
         out["ROUGE_L"] = 100 * float(np.mean(
             [rouge_l(h, r) for h, r in zip(matched_hyps, matched_refs)]
@@ -214,7 +216,7 @@ def soda_c(predictions: Dict[str, List[dict]],
         for i, p in enumerate(preds):
             for j, g in enumerate(gts):
                 iou = _tiou(p["timestamp"], g["timestamp"])
-                score[i, j] = iou * meteor_lite(p["sentence"], [g["sentence"]])
+                score[i, j] = iou * meteor(p["sentence"], [g["sentence"]])
         # DP: order-preserving max-sum matching
         dp = np.zeros((n + 1, m + 1))
         for i in range(1, n + 1):
