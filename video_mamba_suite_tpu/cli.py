@@ -5,11 +5,27 @@ One entry point replacing the reference's seven per-suite launchers
 engine/main_lavila_*.py, run_class_finetuning.py):
 
     python -m video_mamba_suite_tpu.cli <task> [--preset NAME]
-        [--synthetic] [--epochs N] [--set a.b=c …]
+        [--synthetic] [--epochs N] [--ckpt DIR] [--set a.b=c …]
 
-With --synthetic each task trains + evaluates on its built-in synthetic
-dataset (smoke-run / hardware-validation mode); real-data runs take dataset
-paths via --set overrides onto the preset config.
+Real-data mode (the reference launchers' contract, e.g.
+temporal-action-localization/train_eval.py:25-204) activates when the
+preset/overrides provide the task's dataset paths:
+
+    tas          --set dataset.features_path=… dataset.gt_path=…
+                       dataset.vid_list=… dataset.mapping_file=…
+    tal          --set dataset.json_file=… dataset.feat_folder=…
+    vtg          --set dataset.train_jsonl=… dataset.v_feat_dirs=[…]
+                       dataset.q_feat_dir=…
+    captioning   --set dataset.annotation_json=… dataset.feature_dir=…
+    anticipation --set dataset.visual_dir=… dataset.target_dir=…
+                       dataset.sessions=[…]
+    recognition  --set dataset.train_csv=… dataset.video_root=…
+    egocentric   --set dataset.metadata_json=… dataset.video_root=…
+
+Without paths (or with --synthetic) each task trains + evaluates on its
+built-in synthetic dataset (smoke-run / hardware-validation mode).
+--ckpt DIR enables orbax checkpointing/resume through the shared trainer
+core.
 """
 
 from __future__ import annotations
@@ -31,15 +47,63 @@ def _parse_overrides(pairs):
     return out
 
 
-def run_tas(cfg, epochs, synthetic):
-    from .tasks.tas import TasTrainer
-    from .tasks.tas.data import collate, make_synthetic_dataset
+def _ds(cfg):
+    return cfg.get("dataset", {})
 
-    if not synthetic:
-        raise SystemExit("real-data TAS: pass feature/gt paths via --set "
-                         "dataset.* and use TasBatchGenerator (see tasks/tas)")
-    data = make_synthetic_dataset(num_videos=8, num_classes=cfg.dataset.num_classes
-                                  if "dataset" in cfg else 5, feat_dim=32)
+
+def _has(cfg, *keys):
+    d = _ds(cfg)
+    return all(k in d for k in keys)
+
+
+def _opt(cfg, key, default):
+    return cfg.get("opt", {}).get(key, default)
+
+
+def run_tas(cfg, epochs, synthetic, ckpt=None):
+    from .tasks.tas import TasTrainer
+    from .tasks.tas.data import TasBatchGenerator, collate, make_synthetic_dataset
+
+    if not synthetic and _has(cfg, "features_path", "gt_path", "vid_list",
+                              "mapping_file"):
+        d, m = _ds(cfg), cfg.get("model", {})
+        actions = {}
+        with open(d["mapping_file"]) as f:
+            for line in f.read().splitlines():
+                if line.strip():
+                    idx, name = line.split()
+                    actions[name] = int(idx)
+        nc = d.get("num_classes", len(actions))
+        gen = TasBatchGenerator(
+            nc, actions, d["gt_path"], d["features_path"],
+            sample_rate=cfg.get("loader", {}).get("sample_rate", 1),
+        )
+        gen.read_data(d["vid_list"])
+        tr = TasTrainer(
+            num_classes=nc, input_dim=m.get("input_dim", 2048),
+            num_layers=m.get("num_layers", 10),
+            num_f_maps=m.get("num_f_maps", 64),
+            num_decoders=m.get("num_decoders", 3),
+            channel_masking_rate=m.get("channel_masking_rate", 0.3),
+            lr=_opt(cfg, "learning_rate", 5e-4),
+            weight_decay=_opt(cfg, "weight_decay", 1e-5),
+            mixer=m.get("mixer", "vim"),
+        )
+        bs = cfg.get("loader", {}).get("batch_size", 1)
+        for ep in range(epochs):
+            stats = tr.train_epoch(gen, batch_size=bs, if_warp=True)
+            print(f"epoch {ep}: {stats}", flush=True)
+            if ckpt:
+                tr.save(ckpt, ep)
+        if "test_vid_list" in d:
+            test = TasBatchGenerator(nc, actions, d["gt_path"],
+                                     d["features_path"])
+            test.read_data(d["test_vid_list"])
+            items = [test._load_one(v) for v in test.list_of_examples]
+            print("eval:", tr.evaluate(items))
+        return
+
+    data = make_synthetic_dataset(num_videos=8, num_classes=5, feat_dim=32)
     nc = max(int(l.max()) for _, l in data) + 1
     tr = TasTrainer(num_classes=nc, input_dim=32, num_layers=2, num_f_maps=32,
                     num_decoders=1, channel_masking_rate=0.0)
@@ -66,13 +130,61 @@ def run_tas(cfg, epochs, synthetic):
     print("eval:", tr.evaluate(data))
 
 
-def run_tal(cfg, epochs, synthetic):
+def run_tal(cfg, epochs, synthetic, ckpt=None):
     from .tasks.tal import TalTrainer
-    from .tasks.tal.data import make_synthetic_tal
+    from .tasks.tal.data import TalDataset, make_synthetic_tal
 
-    if not synthetic:
-        raise SystemExit("real-data TAL: build TalDataset with json/features "
-                         "via --set dataset.* (see tasks/tal/data.py)")
+    if not synthetic and _has(cfg, "json_file", "feat_folder"):
+        d, m = _ds(cfg), cfg.get("model", {})
+        train_ds = TalDataset(
+            d["json_file"], d["feat_folder"],
+            split=d.get("train_split", ["training"]),
+            feat_stride=d.get("feat_stride", 4),
+            num_frames=d.get("num_frames", 16),
+            default_fps=d.get("default_fps"),
+            file_ext=d.get("file_ext", ".npy"),
+            max_seq_len=d.get("max_seq_len", 2304), is_training=True,
+        )
+        val_ds = TalDataset(
+            d["json_file"], d["feat_folder"],
+            split=d.get("val_split", ["validation", "test"]),
+            feat_stride=d.get("feat_stride", 4),
+            num_frames=d.get("num_frames", 16),
+            default_fps=d.get("default_fps"),
+            file_ext=d.get("file_ext", ".npy"),
+            max_seq_len=d.get("max_seq_len", 2304), is_training=False,
+        )
+        items = [train_ds[i] for i in range(len(train_ds))]
+        bs = cfg.get("loader", {}).get("batch_size", 2)
+        tr = TalTrainer(
+            input_dim=d.get("input_dim", items[0]["feats"].shape[0]
+                            if items else 2048),  # feats are (C, T)
+            num_classes=d.get("num_classes", 20),
+            max_seq_len=d.get("max_seq_len", 2304),
+            embd_dim=m.get("embd_dim", 512),
+            backbone_arch=tuple(m.get("backbone_arch", (2, 2, 5))),
+            regression_range=m.get("regression_range"),
+            lr=_opt(cfg, "learning_rate", 1e-4),
+            weight_decay=_opt(cfg, "weight_decay", 0.05),
+            warmup_steps=min(
+                _opt(cfg, "warmup_epochs", 5) * max(len(items) // bs, 1),
+                max(epochs * max(len(items) // bs, 1) // 2, 1)),
+            total_steps=max(epochs, 1) * max(len(items) // bs, 1) + 1,
+            mixer=m.get("mixer", "dbm"),
+            test_cfg=cfg.get("test_cfg", {}).to_dict()
+            if hasattr(cfg.get("test_cfg", {}), "to_dict") else None,
+        )
+        for ep in range(epochs):
+            stats = tr.train_epoch(items, batch_size=bs)
+            print(f"epoch {ep}: {stats}", flush=True)
+            if ckpt:
+                tr.save(ckpt, ep)
+        val_items = [val_ds[i] for i in range(len(val_ds))]
+        if val_items:
+            mAP, avg = tr.evaluate(val_items)
+            print(f"mAP per tIoU: {mAP}, avg {avg:.4f}")
+        return
+
     items = make_synthetic_tal(num_videos=8, num_classes=2, feat_dim=16,
                                seq_len=128)
     tr = TalTrainer(input_dim=16, num_classes=2, max_seq_len=128, embd_dim=32,
@@ -86,8 +198,37 @@ def run_tal(cfg, epochs, synthetic):
     print(f"mAP per tIoU: {mAP}, avg {avg:.3f}")
 
 
-def run_vtg(cfg, epochs, synthetic):
+def run_vtg(cfg, epochs, synthetic, ckpt=None):
     from .tasks.vtg import VtgTrainer, make_synthetic_vtg
+    from .tasks.vtg.data import load_file_dataset
+
+    if not synthetic and _has(cfg, "train_jsonl", "v_feat_dirs", "q_feat_dir"):
+        d, m = _ds(cfg), cfg.get("model", {})
+        samples = load_file_dataset(
+            d["train_jsonl"], d["v_feat_dirs"], d["q_feat_dir"],
+            clip_len=d.get("clip_len", 2.0), max_v_l=d.get("max_v_l", 75),
+        )
+        tr = VtgTrainer(
+            txt_dim=samples[0]["txt_feat"].shape[-1],
+            vid_dim=samples[0]["vid_feat"].shape[-1],
+            embed_dim=m.get("embed_dim", 256), depth=m.get("depth", 4),
+            mamba_type=m.get("mamba_type", "vim"),
+            lr=_opt(cfg, "learning_rate", 1e-4),
+            max_q_l=d.get("max_q_l", 32), max_v_l=d.get("max_v_l", 75),
+        )
+        bs = cfg.get("loader", {}).get("batch_size", 32)
+        for ep in range(epochs):
+            stats = tr.train_epoch(samples, batch_size=bs)
+            print(f"epoch {ep}: {stats}", flush=True)
+            if ckpt:
+                tr.save(ckpt, ep)
+        if "eval_jsonl" in d:
+            eval_samples = load_file_dataset(
+                d["eval_jsonl"], d["v_feat_dirs"], d["q_feat_dir"],
+                clip_len=d.get("clip_len", 2.0), max_v_l=d.get("max_v_l", 75),
+            )
+            print("eval:", tr.evaluate(eval_samples))
+        return
 
     samples = make_synthetic_vtg(num_samples=16, ctx_l=32, txt_dim=12,
                                  vid_dim=12)
@@ -99,10 +240,62 @@ def run_vtg(cfg, epochs, synthetic):
     print("eval:", tr.evaluate(samples))
 
 
-def run_captioning(cfg, epochs, synthetic):
+def run_captioning(cfg, epochs, synthetic, ckpt=None):
     import numpy as np
 
     from .tasks.captioning import CaptioningTrainer, PDVC, evaluate_dvc
+
+    if not synthetic and _has(cfg, "annotation_json", "feature_dir"):
+        from .tasks.captioning.data import (
+            collate_captioning,
+            load_activitynet_captions,
+            vocab_list,
+        )
+
+        d, m = _ds(cfg), cfg.get("model", {})
+        max_seq = d.get("max_seq_len", 256)
+        items, tok = load_activitynet_captions(
+            d["annotation_json"], d["feature_dir"],
+            max_events=d.get("max_events", 10),
+            max_caption_len=d.get("max_caption_len", 20),
+            max_seq_len=max_seq,
+        )
+        model = PDVC(
+            input_dim=items[0]["feats"].shape[-1],
+            num_classes=1, vocab_size=tok.vocab_size,
+            num_queries=m.get("num_queries", 100),
+            d_model=m.get("d_model", 512), n_levels=m.get("n_levels", 4),
+            num_encoder_layers=m.get("num_encoder_layers", 2),
+            num_decoder_layers=m.get("num_decoder_layers", 6),
+            max_caption_len=d.get("max_caption_len", 20),
+        )
+        tr = CaptioningTrainer(model, lr=_opt(cfg, "learning_rate", 5e-5))
+        bs = cfg.get("loader", {}).get("batch_size", 1)
+        import numpy as _np
+
+        for ep in range(epochs):
+            order = _np.random.permutation(len(items))
+            for i in range(0, len(items) - bs + 1, bs):
+                batch = [items[j] for j in order[i:i + bs]]
+                losses = tr.train_step(*collate_captioning(batch, max_seq))
+            print(f"epoch {ep}: {losses}", flush=True)
+            if ckpt:
+                tr.save(ckpt, ep)
+        # eval on the training annotations (val json via --set
+        # dataset.annotation_json on a second run)
+        preds, gts = {}, {}
+        vocab = vocab_list(tok)
+        for i in range(0, len(items), bs):
+            batch = items[i:i + bs]
+            feats, mask, *_ = collate_captioning(batch, max_seq)
+            events = tr.predict(feats, mask,
+                                duration=float(batch[0]["duration"]),
+                                vocab=vocab)
+            for b, it in enumerate(batch):
+                preds[it["video_id"]] = events[b]
+                gts[it["video_id"]] = it["gt_events"]
+        print("eval:", evaluate_dvc(preds, gts))
+        return
 
     rng = np.random.default_rng(0)
     B, T, C = 2, 64, 12
@@ -133,10 +326,41 @@ def run_captioning(cfg, epochs, synthetic):
     print("eval:", evaluate_dvc({f"v{b}": events[b] for b in range(B)}, gt_json))
 
 
-def run_anticipation(cfg, epochs, synthetic):
+def run_anticipation(cfg, epochs, synthetic, ckpt=None):
     import numpy as np
 
     from .tasks.anticipation import AnticipationTrainer, LSTRMamba
+
+    if not synthetic and _has(cfg, "visual_dir", "target_dir", "sessions"):
+        from .tasks.anticipation.data import PerFrameDataset
+
+        d, m = _ds(cfg), cfg.get("model", {})
+        lm = m.get("long_memory_num_samples", 128)
+        wm = m.get("work_memory_num_samples", 32)
+        ant = m.get("anticipation_num_samples", 8)
+        ds = PerFrameDataset(
+            d["sessions"], d["visual_dir"], d.get("motion_dir"),
+            d["target_dir"], long_memory=lm, work_memory=wm,
+            anticipation=ant, stride=d.get("stride", wm),
+        )
+        vis0, mot0, _ = ds[0]
+        model = LSTRMamba(
+            visual_dim=vis0.shape[-1], motion_dim=mot0.shape[-1],
+            d_model=m.get("d_model", 1024),
+            num_classes=d.get("num_classes", 3806),
+            long_memory_num_samples=lm, work_memory_num_samples=wm,
+            anticipation_num_samples=ant,
+            mamba_layers=m.get("mamba_layers", 2),
+        )
+        tr = AnticipationTrainer(model, lr=_opt(cfg, "learning_rate", 7e-5))
+        bs = cfg.get("loader", {}).get("batch_size", 16)
+        for ep in range(epochs):
+            for vis, mot, tgt in ds.batches(bs):
+                loss = tr.train_step(vis, mot, tgt)
+            print(f"epoch {ep}: loss {loss:.4f}", flush=True)
+            if ckpt:
+                tr.save(ckpt, ep)
+        return
 
     rng = np.random.default_rng(0)
     model = LSTRMamba(visual_dim=16, motion_dim=8, d_model=32, num_classes=3,
@@ -158,11 +382,45 @@ def run_anticipation(cfg, epochs, synthetic):
     print("loss:", loss, "eval:", tr.evaluate(visual, motion, labels))
 
 
-def run_recognition(cfg, epochs, synthetic):
+def run_recognition(cfg, epochs, synthetic, ckpt=None):
     import numpy as np
 
     from .models.vivim import ViViM
     from .tasks.recognition import RecognitionTrainer
+
+    if not synthetic and _has(cfg, "train_csv"):
+        from .data.video_datasets import VideoClassificationDataset
+
+        d, m = _ds(cfg), cfg.get("model", {})
+        ds = VideoClassificationDataset(
+            d["train_csv"], d.get("video_root", ""),
+            num_frames=m.get("num_frames", 16), is_training=True,
+        )
+        nc = d.get("num_classes", max(l for _, l in ds.items) + 1)
+        size = d.get("crop_size", 224)
+        model = ViViM(img_size=size, patch_size=16,
+                      num_frames=m.get("num_frames", 16),
+                      depth=m.get("depth", 24),
+                      embed_dim=m.get("embed_dim", 192), num_classes=nc)
+        tr = RecognitionTrainer(
+            model, num_classes=nc, lr=_opt(cfg, "learning_rate", 1e-3),
+            mixup_alpha=cfg.get("aug", {}).get("mixup", 0.8),
+            cutmix_alpha=cfg.get("aug", {}).get("cutmix", 1.0),
+        )
+        bs = cfg.get("loader", {}).get("batch_size", 8)
+        rng = np.random.default_rng(0)
+        for ep in range(epochs):
+            order = rng.permutation(len(ds))
+            for i in range(0, len(ds) - bs + 1, bs):
+                rows = [ds[j] for j in order[i:i + bs]]
+                videos = np.stack(
+                    [r["frames"][0].astype(np.float32) / 255.0 for r in rows])
+                labels = np.array([r["label"] for r in rows], np.int32)
+                loss = tr.train_step(videos, labels)
+            print(f"epoch {ep}: loss {loss:.4f}", flush=True)
+            if ckpt:
+                tr.save(ckpt, ep)
+        return
 
     rng = np.random.default_rng(0)
     n, S = 16, 32
@@ -184,11 +442,58 @@ def run_recognition(cfg, epochs, synthetic):
     print("eval:", tr.evaluate(videos, labels))
 
 
-def run_egocentric(cfg, epochs, synthetic):
+def run_egocentric(cfg, epochs, synthetic, ckpt=None):
     import numpy as np
 
     from .models.clip import CLIP
     from .tasks.egocentric import ClipPretrainer
+
+    if not synthetic and _has(cfg, "metadata_json", "video_root"):
+        from .data.tokenizer import WordTokenizer
+        from .data.video_datasets import VideoCaptionDataset
+
+        d, m = _ds(cfg), cfg.get("model", {})
+        with open(d["metadata_json"]) as f:
+            metadata = json.load(f)
+        tok = WordTokenizer(corpus=[x.get("caption", "") for x in metadata],
+                            context_length=d.get("context_length", 77))
+        ds = VideoCaptionDataset(metadata, d["video_root"],
+                                 num_frames=m.get("num_frames", 4))
+        tower = m.get("vision_tower", "timemamba")
+        vision_cfg = dict(num_frames=m.get("num_frames", 4),
+                          depth=m.get("depth", 12),
+                          embed_dim=m.get("vision_width", 768),
+                          img_size=m.get("img_size", 224),
+                          patch_size=m.get("patch_size", 16))
+        if tower == "timemamba":
+            vision_cfg.update(ln_pre=True, scan_blocks=True)
+        model = CLIP(
+            embed_dim=m.get("embed_dim", 512),
+            vision_tower=tower,
+            vision_cfg=vision_cfg,
+            text_cfg=dict(context_length=d.get("context_length", 77),
+                          vocab_size=tok.vocab_size,
+                          width=m.get("text_width", 512),
+                          heads=m.get("text_heads", 8),
+                          layers=m.get("text_layers", 12)),
+        )
+        tr = ClipPretrainer(model, lr=_opt(cfg, "learning_rate", 3e-5))
+        bs = cfg.get("loader", {}).get("batch_size", 8)
+        rng = np.random.default_rng(0)
+        for ep in range(epochs):
+            order = rng.permutation(len(ds))
+            for i in range(0, len(ds) - bs + 1, bs):
+                rows = [ds[j] for j in order[i:i + bs]]
+                videos = np.stack(
+                    [r["frames"].astype(np.float32) / 255.0 for r in rows])
+                texts = np.stack([
+                    np.asarray(tok([r["caption"]])[0], np.int64)
+                    for r in rows])
+                loss = tr.train_step(videos, texts)
+            print(f"epoch {ep}: loss {loss:.4f}", flush=True)
+            if ckpt:
+                tr.save(ckpt, ep)
+        return
 
     model = CLIP(
         embed_dim=16, vision_tower="vivim",
@@ -226,15 +531,19 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="video_mamba_suite_tpu")
     p.add_argument("task", choices=sorted(TASKS))
     p.add_argument("--preset", default=None, choices=sorted(PRESETS))
-    p.add_argument("--synthetic", action="store_true", default=True)
+    p.add_argument("--synthetic", action="store_true",
+                   help="force the built-in synthetic dataset even when "
+                        "dataset paths are configured")
     p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--ckpt", default=None,
+                   help="orbax checkpoint directory (save per epoch)")
     p.add_argument("--set", nargs="*", dest="overrides",
                    help="dotted config overrides a.b=c")
     args = p.parse_args(argv)
 
     cfg = Config(PRESETS[args.preset]) if args.preset else Config()
     cfg = cfg.override(_parse_overrides(args.overrides))
-    TASKS[args.task](cfg, args.epochs, args.synthetic)
+    TASKS[args.task](cfg, args.epochs, args.synthetic, ckpt=args.ckpt)
 
 
 if __name__ == "__main__":

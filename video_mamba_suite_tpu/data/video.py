@@ -49,6 +49,8 @@ class VideoDecoder:
     def __init__(self, path: str, backend: Optional[str] = None,
                  width: int = -1, height: int = -1):
         self.path = path
+        if backend is None and path.endswith(".npy"):
+            backend = "npy"  # pre-extracted (T, H, W, 3) uint8 frame arrays
         self.backend = backend or _detect_backend()
         self.width, self.height = width, height
         if self.backend is None:
@@ -59,7 +61,11 @@ class VideoDecoder:
         self._open()
 
     def _open(self):
-        if self.backend == "decord":
+        if self.backend == "npy":
+            self._frames = np.load(self.path, mmap_mode="r")
+            self.num_frames = self._frames.shape[0]
+            self.fps = 30.0
+        elif self.backend == "decord":
             import decord
 
             kw = {}
@@ -90,6 +96,8 @@ class VideoDecoder:
 
     def get_batch(self, indices: Sequence[int]) -> np.ndarray:
         """(N, H, W, 3) uint8 frames at the given indices."""
+        if self.backend == "npy":
+            return np.asarray(self._frames[np.asarray(indices, int)])
         if self.backend == "decord":
             return self._vr.get_batch(list(indices)).asnumpy()
         if self.backend == "av":

@@ -103,6 +103,54 @@ def load_jsonl_dataset(data_path: str) -> List[dict]:
         return [json.loads(l) for l in f if l.strip()]
 
 
+def load_file_dataset(
+    jsonl_path: str,
+    v_feat_dirs: Sequence[str],
+    q_feat_dir: str,
+    clip_len: float = 2.0,
+    max_v_l: int = 75,
+    seed: int = 0,
+) -> List[Dict]:
+    """File-backed MR dataset (DatasetMR :410-520 semantics): per line, load
+    video features from each v_feat_dir ({vid}.npy, channel-concatenated —
+    the SlowFast+CLIP stacking), query features from q_feat_dir
+    ({qid}.npy), and build the MR targets from relevant_windows."""
+    import os
+
+    if isinstance(v_feat_dirs, str):
+        v_feat_dirs = [v_feat_dirs]
+    rng = np.random.default_rng(seed)
+    samples = []
+    for meta in load_jsonl_dataset(jsonl_path):
+        feats = []
+        for d in v_feat_dirs:
+            f = np.load(os.path.join(d, f"{meta['vid']}.npy"))
+            feats.append(f.astype(np.float32))
+        n = min(min(f.shape[0] for f in feats), max_v_l)
+        vid_feat = np.concatenate([f[:n] for f in feats], axis=-1)
+        txt_feat = np.load(
+            os.path.join(q_feat_dir, f"{meta['qid']}.npy")
+        ).astype(np.float32)
+        if txt_feat.ndim == 1:
+            txt_feat = txt_feat[None]
+        windows = meta.get("relevant_windows", [[0, n * clip_len]])
+        sal = None
+        if "saliency_scores" in meta and "relevant_clip_ids" in meta:
+            sal = np.zeros(n, np.float32)
+            for cid, sc in zip(meta["relevant_clip_ids"],
+                               meta["saliency_scores"]):
+                if cid < n:
+                    sal[cid] = float(np.mean(sc))
+        targets = build_targets(n, windows, clip_len,
+                                saliency_scores=sal, rng=rng)
+        samples.append(dict(
+            qid=meta["qid"], vid=meta["vid"], txt_feat=txt_feat,
+            vid_feat=vid_feat, targets=targets, relevant_windows=windows,
+            duration=meta.get("duration", n * clip_len), clip_len=clip_len,
+        ))
+    return samples
+
+
 def make_synthetic_vtg(
     num_samples: int = 8, ctx_l: int = 48, txt_len: int = 6,
     txt_dim: int = 16, vid_dim: int = 16, clip_len: float = 2.0, seed: int = 0,
