@@ -91,3 +91,20 @@ def test_causal_conv1d_update_matches_full(width):
         outs.append(o)
     stepped = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(stepped), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+
+def test_reverse_conv_equals_flip_conv_flip():
+    """reverse=True == flip → causal conv → flip (the anti-causal stream of
+    bidirectional mixers, computed without the two copies)."""
+    import jax
+
+    from video_mamba_suite_tpu.ops.causal_conv1d import causal_conv1d
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(ks[0], (2, 13, 8))
+    w = jax.random.normal(ks[1], (4, 8))
+    b = jax.random.normal(ks[2], (8,))
+    want = jnp.flip(causal_conv1d(jnp.flip(x, 1), w, b, activation="silu"), 1)
+    got = causal_conv1d(x, w, b, activation="silu", reverse=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

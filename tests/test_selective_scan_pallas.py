@@ -267,3 +267,96 @@ def test_pallas_initial_state_matches_split_scan():
     gr = jax.grad(via_ref)(jnp.asarray(h0))
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                rtol=3e-3, atol=3e-3)
+
+
+def test_bidir_fused_matches_two_directions():
+    """The interleaved bidirectional kernel == causal scan + flip∘scan∘flip,
+    values AND gradients (training path routes per-direction adjoints)."""
+    from video_mamba_suite_tpu.ops.selective_scan_pallas import (
+        selective_scan_pallas_bidir,
+    )
+
+    rng = jax.random.PRNGKey(11)
+    b, l, d, n = 3, 16, 8, 4
+    ks = jax.random.split(rng, 14)
+    uf = jax.random.normal(ks[0], (b, l, d))
+    dtf = 0.5 * jax.random.uniform(ks[1], (b, l, d))
+    Af = -0.5 * jax.random.uniform(ks[2], (d, n))
+    Bf = jax.random.normal(ks[3], (b, l, n))
+    Cf = jax.random.normal(ks[4], (b, l, n))
+    ub = jax.random.normal(ks[5], (b, l, d))
+    dtb = 0.5 * jax.random.uniform(ks[6], (b, l, d))
+    Ab = -0.5 * jax.random.uniform(ks[7], (d, n))
+    Bb = jax.random.normal(ks[8], (b, l, n))
+    Cb = jax.random.normal(ks[9], (b, l, n))
+    Df = jax.random.normal(ks[10], (d,))
+    zf = jax.random.normal(ks[11], (b, l, d))
+    zb = jax.random.normal(ks[12], (b, l, d))
+    biasf = 0.5 * jax.random.uniform(ks[13], (d,))
+
+    flip = lambda x: jnp.flip(x, axis=1)  # noqa: E731
+
+    def two_calls(uf, dtf, ub, dtb):
+        yf = selective_scan_ref(uf, dtf, Af, Bf, Cf, D=Df, z=zf,
+                                delta_bias=biasf, delta_softplus=True)
+        yb = flip(selective_scan_ref(
+            flip(ub), flip(dtb), Ab, flip(Bb), flip(Cb), D=Df, z=flip(zb),
+            delta_bias=biasf, delta_softplus=True))
+        return yf, yb
+
+    def fused(uf, dtf, ub, dtb):
+        return selective_scan_pallas_bidir(
+            uf, dtf, Af, Bf, Cf, ub, dtb, Ab, Bb, Cb,
+            Df=Df, zf=zf, biasf=biasf, Db=Df, zb=zb, biasb=biasf,
+            delta_softplus=True)
+
+    want_f, want_b = two_calls(uf, dtf, ub, dtb)
+    got_f, got_b = fused(uf, dtf, ub, dtb)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=2e-4, atol=2e-4)
+
+    g1 = jax.random.normal(jax.random.PRNGKey(20), (b, l, d))
+    g2 = jax.random.normal(jax.random.PRNGKey(21), (b, l, d))
+
+    def loss(fn):
+        def f(uf, dtf, ub, dtb):
+            yf, yb = fn(uf, dtf, ub, dtb)
+            return jnp.sum(yf * g1) + jnp.sum(yb * g2)
+        return jax.grad(f, argnums=(0, 1, 2, 3))
+
+    gr = loss(two_calls)(uf, dtf, ub, dtb)
+    gp = loss(fused)(uf, dtf, ub, dtb)
+    for a_, r_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_bidir_fused_padded_seqlen():
+    """Non-multiple-of-8 seqlen: padding is identity for BOTH directions."""
+    from video_mamba_suite_tpu.ops.selective_scan_pallas import (
+        selective_scan_pallas_bidir,
+    )
+
+    rng = jax.random.PRNGKey(13)
+    b, l, d, n = 2, 11, 8, 4
+    ks = jax.random.split(rng, 10)
+    mk = lambda i, *s: jax.random.normal(ks[i], s)  # noqa: E731
+    uf, ub = mk(0, b, l, d), mk(1, b, l, d)
+    dtf = 0.5 * jax.random.uniform(ks[2], (b, l, d))
+    dtb = 0.5 * jax.random.uniform(ks[3], (b, l, d))
+    Af = -0.5 * jax.random.uniform(ks[4], (d, n))
+    Ab = -0.5 * jax.random.uniform(ks[5], (d, n))
+    Bf, Cf, Bb, Cb = mk(6, b, l, n), mk(7, b, l, n), mk(8, b, l, n), mk(9, b, l, n)
+
+    flip = lambda x: jnp.flip(x, axis=1)  # noqa: E731
+    want_f = selective_scan_ref(uf, dtf, Af, Bf, Cf, delta_softplus=True)
+    want_b = flip(selective_scan_ref(flip(ub), flip(dtb), Ab, flip(Bb),
+                                     flip(Cb), delta_softplus=True))
+    got_f, got_b = selective_scan_pallas_bidir(
+        uf, dtf, Af, Bf, Cf, ub, dtb, Ab, Bb, Cb, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=2e-4, atol=2e-4)

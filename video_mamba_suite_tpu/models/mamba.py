@@ -181,10 +181,13 @@ class _MambaBase(nn.Module):
     if_devide_out: bool = False  # (sic) reference spelling
     layer_idx: Optional[int] = None
     impl: str = "auto"
-    fuse_scan: bool = False        # one grouped scan call for both directions
-                                   # (measured slower on v5e: the stream
-                                   # concats cost more HBM traffic than the
-                                   # saved dispatch; kept as an option)
+    fuse_scan: Optional[bool] = None  # both directions in one scan call.
+                                   # None = auto: ON for short sequences on
+                                   # TPU (the interleaved bidirectional
+                                   # kernel, ~1.2x one direction instead of
+                                   # 2x and flip-free), OFF otherwise (the
+                                   # long-seq grouped-channel form measured
+                                   # slower than two calls on v5e).
     dtype: Dtype = None            # compute dtype (bf16 policy)
     param_dtype: Dtype = jnp.float32
 
@@ -203,6 +206,17 @@ class _MambaBase(nn.Module):
             dt_init=self.dt_init, dt_scale=self.dt_scale,
             dt_init_floor=self.dt_init_floor, conv_bias=self.conv_bias,
             param_dtype=self.param_dtype, name=name,
+        )
+
+    def _use_fuse_scan(self, seqlen: int) -> bool:
+        if self.fuse_scan is not None:
+            return self.fuse_scan
+        from ..ops.selective_scan_pallas import SHORT_SEQ_MAX
+
+        return (
+            jax.default_backend() == "tpu"
+            and self.impl in ("auto", "pallas")
+            and -(-seqlen // 8) * 8 <= SHORT_SEQ_MAX
         )
 
 
@@ -229,7 +243,7 @@ class MambaVim(_MambaBase):
     def __call__(self, hidden_states: jax.Array,
                  mask: Optional[jax.Array] = None) -> jax.Array:
         xz = self.in_proj(hidden_states)                      # (b, l, 2*d_in)
-        if self.fuse_scan:
+        if self._use_fuse_scan(xz.shape[1]):
             out_f, out_b = mamba_inner_bidir(
                 xz, xz, self.fwd.param_dict(), self.bwd.param_dict(),
                 -jnp.exp(self.fwd.A_log), -jnp.exp(self.bwd.A_log),
@@ -272,7 +286,7 @@ class MambaDBM(_MambaBase):
         d_in = self.d_inner
         xz = self.in_proj(hidden_states)                      # (b, l, 4*d_in)
         xz_f, xz_b = xz[..., : 2 * d_in], xz[..., 2 * d_in :]
-        if self.fuse_scan:
+        if self._use_fuse_scan(xz.shape[1]):
             pd = self.shared.param_dict()
             A = -jnp.exp(self.shared.A_log)
             out_f, out_b = mamba_inner_bidir(

@@ -34,6 +34,7 @@ def causal_conv1d_ref(
     weight: jax.Array,
     bias: Optional[jax.Array] = None,
     activation: Optional[str] = None,
+    reverse: bool = False,
 ) -> jax.Array:
     """Reference causal depthwise conv.
 
@@ -43,15 +44,23 @@ def causal_conv1d_ref(
                               rides the lane axis]
       bias:   (dim,), optional
       activation: None | 'silu' | 'swish'
+      reverse: anti-causal direction — out == flip(conv(flip(x))), i.e. the
+        backward stream of bidirectional mixers computed WITHOUT the two
+        flip copies.
 
-    out[t] = sum_k weight[k] * x[t - (W-1) + k], zero-padded on the left.
+    out[t] = sum_k weight[k] * x[t - (W-1) + k], zero-padded on the left
+    (right for reverse).
     """
     width = weight.shape[0]
-    padded = jnp.pad(x, ((0, 0), (width - 1, 0), (0, 0)))
     seqlen = x.shape[1]
+    if reverse:
+        padded = jnp.pad(x, ((0, 0), (0, width - 1), (0, 0)))
+    else:
+        padded = jnp.pad(x, ((0, 0), (width - 1, 0), (0, 0)))
     out = jnp.zeros_like(x, dtype=jnp.promote_types(x.dtype, weight.dtype))
     for k in range(width):
-        out = out + padded[:, k : k + seqlen, :] * weight[k][None, None]
+        tap = weight[width - 1 - k] if reverse else weight[k]
+        out = out + padded[:, k : k + seqlen, :] * tap[None, None]
     if bias is not None:
         out = out + bias[None, None]
     return _apply_activation(out, activation).astype(x.dtype)

@@ -118,13 +118,16 @@ def mamba_inner_bidir(
     """Both directions of a bidirectional mixer in ONE fused scan call.
 
     The per-direction convs/projections stay separate (they are MXU matmuls
-    XLA schedules anyway), but the two scans are stacked on the channel axis
-    with grouped B/C (G=2), halving scan-kernel dispatches — the dominant
-    cost in video adapters. Exact: channels are independent in the recurrence.
+    XLA schedules anyway), but the two scans run in one kernel. On the
+    short-seq path (video adapters) the fused bidirectional kernel
+    interleaves both recurrences in the same step loop — the anti-causal
+    direction scans backwards in place, so there are NO flip copies at all.
+    Longer sequences stack the directions on the channel axis with grouped
+    B/C (G=2). Exact either way: channels are independent in the recurrence.
 
     Args:
       xz_fwd/xz_bwd: (batch, seqlen, 2·d_inner) per-direction [x; z] streams,
-        both in FORWARD time order (the backward stream is flipped inside).
+        both in FORWARD time order.
         ViM passes the same stream twice; DBM passes its two streams.
       fwd/bwd: dicts with conv_w, conv_b, x_proj, dt_proj, dt_bias, D
         (the same dict twice for DBM's shared parameters).
@@ -142,6 +145,32 @@ def mamba_inner_bidir(
         m = mask.astype(xz_fwd.dtype)[..., None]
         x, z = x * m, z * m
         xb_raw, zb_raw = xb_raw * m, zb_raw * m
+
+    from .selective_scan_pallas import SHORT_SEQ_MAX, selective_scan_pallas_bidir
+
+    seqlen = x.shape[1]
+    use_fused_short = (
+        impl in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and -(-seqlen // 8) * 8 <= SHORT_SEQ_MAX
+    )
+    if use_fused_short:
+        # flip-free: anti-causal conv + in-kernel backward scan
+        xf = causal_conv1d(x, fwd["conv_w"], fwd.get("conv_b"),
+                           activation="silu")
+        xb = causal_conv1d(xb_raw, bwd["conv_w"], bwd.get("conv_b"),
+                           activation="silu", reverse=True)
+        dt_f, B_f, C_f = _proj_dt_bc(xf, fwd["x_proj"], fwd["dt_proj"],
+                                     d_state, mask)
+        dt_b, B_b, C_b = _proj_dt_bc(xb, bwd["x_proj"], bwd["dt_proj"],
+                                     d_state, mask)
+        return selective_scan_pallas_bidir(
+            xf, dt_f, A_fwd, B_f, C_f, xb, dt_b, A_bwd, B_b, C_b,
+            Df=fwd["D"], zf=z, biasf=fwd["dt_bias"],
+            Db=bwd["D"], zb=zb_raw, biasb=bwd["dt_bias"],
+            delta_softplus=True,
+        )
+
     x_b = jnp.flip(xb_raw, axis=1)
     z_b = jnp.flip(zb_raw, axis=1)
     mask_b = jnp.flip(mask, axis=1) if mask is not None else None
