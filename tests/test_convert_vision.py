@@ -139,7 +139,7 @@ def _text_sd(g, width=32, layers=1, vocab=60, ctx=6, out_dim=16):
 def test_convert_attention_matches_torch_mha():
     """Converted MHA weights reproduce torch's batch-first self-attention
     (the FlashMHA semantics the reference trains with)."""
-    from flax import linen as nn
+    from video_mamba_suite_tpu.models.common import FusedMHA
 
     g = torch.Generator().manual_seed(0)
     d, heads = 32, 4
@@ -153,12 +153,20 @@ def test_convert_attention_matches_torch_mha():
     with torch.no_grad():
         want = mha(x, x, x, need_weights=False)[0].numpy()
 
-    flax_attn = nn.MultiHeadDotProductAttention(num_heads=heads)
+    fused = FusedMHA(num_heads=heads)
     params = {"params": jax.tree_util.tree_map(
         jnp.asarray, convert_attention(sd, "", heads))}
     xj = jnp.asarray(x.numpy())
-    got = np.asarray(flax_attn.apply(params, xj, xj))
+    got = np.asarray(fused.apply(params, xj))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # causal flag == torch's is_causal upper-triangular masking
+    with torch.no_grad():
+        want_c = mha(x, x, x, need_weights=False, is_causal=True,
+                     attn_mask=torch.nn.Transformer.generate_square_subsequent_mask(5),
+                     )[0].numpy()
+    got_c = np.asarray(FusedMHA(num_heads=heads, causal=True).apply(params, xj))
+    np.testing.assert_allclose(got_c, want_c, rtol=2e-4, atol=2e-4)
 
 
 def test_convert_timemamba_applies():

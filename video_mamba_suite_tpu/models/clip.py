@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .common import FusedMHA
 from .timemamba import Mlp, TimeMamba
 from .vivim import ViViM
 
@@ -29,14 +30,10 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        L = x.shape[1]
-        mask = None
-        if self.causal:
-            mask = nn.make_causal_mask(jnp.zeros((x.shape[0], L)))
         h = nn.LayerNorm(name="ln_1")(x)
-        x = x + nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, deterministic=deterministic, name="attn",
-        )(h, h, mask=mask)
+        x = x + FusedMHA(
+            num_heads=self.heads, causal=self.causal, name="attn",
+        )(h, deterministic=deterministic)
         h = nn.LayerNorm(name="ln_2")(x)
         x = x + Mlp(4 * self.width, self.width, name="mlp")(
             h, deterministic=deterministic

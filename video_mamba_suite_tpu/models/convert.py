@@ -138,31 +138,19 @@ def convert_layernorm(sd, prefix: str) -> Dict[str, Any]:
 
 
 def convert_attention(sd, prefix: str, num_heads: int) -> Dict[str, Any]:
-    """torch nn.MultiheadAttention → flax MultiHeadDotProductAttention.
+    """torch nn.MultiheadAttention → FusedMHA (models/common.py).
 
-    torch packs q/k/v as in_proj_weight (3D, D) rows; flax wants per-head
-    kernels (D, H, Dh) (already transposed to (in, out))."""
+    torch packs q/k/v as in_proj_weight (3D, D) rows in [q; k; v] order —
+    exactly FusedMHA's fused qkv kernel transposed to (in, out). num_heads
+    is accepted for call-site symmetry (the fused layout is head-agnostic).
+    """
+    del num_heads
     w = _t(sd[prefix + "in_proj_weight"])          # (3D, D)
-    d = w.shape[1]
-    dh = d // num_heads
-    wq, wk, wv = w[:d], w[d : 2 * d], w[2 * d :]
-
-    def qkv(wx, bx):
-        out = {"kernel": wx.T.reshape(d, num_heads, dh)}
-        if bx is not None:
-            out["bias"] = bx.reshape(num_heads, dh)
-        return out
-
-    b = (_t(sd[prefix + "in_proj_bias"])
-         if prefix + "in_proj_bias" in sd else None)
-    bq, bk, bv = (b[:d], b[d : 2 * d], b[2 * d :]) if b is not None else (None,) * 3
+    out = {"qkv": {"kernel": w.T}, "out": {}}
+    if prefix + "in_proj_bias" in sd:
+        out["qkv"]["bias"] = _t(sd[prefix + "in_proj_bias"])
     out_w = _t(sd[prefix + "out_proj.weight"])      # (D, D)
-    out = {
-        "query": qkv(wq, bq),
-        "key": qkv(wk, bk),
-        "value": qkv(wv, bv),
-        "out": {"kernel": out_w.T.reshape(num_heads, dh, d)},
-    }
+    out["out"]["kernel"] = out_w.T
     if prefix + "out_proj.bias" in sd:
         out["out"]["bias"] = _t(sd[prefix + "out_proj.bias"])
     return out

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import DropPath
+from .common import FusedMHA
 from .mamba import MambaVim
 
 
@@ -38,7 +38,14 @@ class Mlp(nn.Module):
 
 
 class SpaceTimeBlock(nn.Module):
-    """timemamba.py:98-178, attention_style='frozen-in-time'."""
+    """timemamba.py:98-178, attention_style='frozen-in-time'.
+
+    The cls token and the patch grid travel as SEPARATE tensors
+    (cls (B, 1, D), patches (B, n, t, D) patch-major): the reference's
+    single [cls; (n t)] sequence forces two full-tensor concat/slice copies
+    per block; keeping them apart is the same math with zero copies, and
+    the (B, n, t, D) layout feeds the temporal scan with a free reshape.
+    """
 
     dim: int
     num_heads: int
@@ -50,17 +57,12 @@ class SpaceTimeBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, time_n: int, space_f: int, deterministic: bool = True):
-        """x (B, 1 + n·t, D) with layout [cls; (n t)] (patch-major)."""
-        B = x.shape[0]
-        D = self.dim
-        n, t = time_n, space_f
-        init_cls = x[:, :1]
-        res_x = x
-        h = x[:, 1:]
+    def __call__(self, cls, patches, deterministic: bool = True):
+        """cls (B, 1, D); patches (B, n, t, D). Returns (cls, patches)."""
+        B, n, t, D = patches.shape
 
         # --- temporal Mamba per patch position (:130-141)
-        ht = h.reshape(B * n, t, D)
+        ht = patches.reshape(B * n, t, D)
         ht_n = nn.LayerNorm(dtype=self.dtype, name="norm3")(ht)
         time_out = MambaVim(d_model=D, expand=1, impl=self.impl,
                             dtype=self.dtype, name="time_mamba")(ht_n)
@@ -68,30 +70,41 @@ class SpaceTimeBlock(nn.Module):
             alpha = self.param("alpha_timeattn", nn.initializers.zeros, ())
             time_out = jnp.tanh(alpha) * time_out
         time_residual = ht + time_out                    # (B·n, t, D)
-        time_residual = time_residual.reshape(B, n * t, D)
 
         # --- spatial attention per frame with broadcast cls (:148-170)
-        cls_rep = jnp.repeat(init_cls, t, axis=1).reshape(B * t, 1, D)
+        cls_rep = jnp.broadcast_to(
+            cls.astype(patches.dtype)[:, None], (B, t, 1, D)
+        ).reshape(B * t, 1, D)
         xs = time_residual.reshape(B, n, t, D).transpose(0, 2, 1, 3)
         xs = xs.reshape(B * t, n, D)
         xs = jnp.concatenate([cls_rep, xs], axis=1)      # (B·t, 1+n, D)
         xs_n = nn.LayerNorm(dtype=self.dtype, name="norm1")(xs)
-        space_out = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="attn",
-            deterministic=deterministic,
-        )(xs_n, xs_n)
+        space_out = FusedMHA(num_heads=self.num_heads, dtype=self.dtype,
+                             name="attn")(xs_n, deterministic=deterministic)
         cls_out = space_out[:, 0].reshape(B, t, D).mean(axis=1, keepdims=True)
         patch_out = space_out[:, 1:].reshape(B, t, n, D).transpose(0, 2, 1, 3)
-        patch_out = patch_out.reshape(B, n * t, D)
 
         # frozen-in-time: x = res_x + [cls_mean; space_output] (:172)
-        x = res_x + jnp.concatenate([cls_out, patch_out], axis=1)
-        mlp_out = Mlp(int(D * self.mlp_ratio), D, self.drop,
-                      dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic=deterministic
-        )
-        x = x + DropPath(rate=self.drop_path)(mlp_out, deterministic=deterministic)
-        return x
+        cls = cls + cls_out
+        patches = patches + patch_out
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        mlp = Mlp(int(D * self.mlp_ratio), D, self.drop,
+                  dtype=self.dtype, name="mlp")
+        mlp_cls = mlp(norm2(cls), deterministic=deterministic)
+        mlp_patch = mlp(norm2(patches), deterministic=deterministic)
+        if deterministic or self.drop_path == 0.0:
+            cls = cls + mlp_cls
+            patches = patches + mlp_patch
+        else:
+            # ONE stochastic-depth decision per sample for the whole branch
+            # (cls and patches together, as in the joint-tensor form)
+            keep = 1.0 - self.drop_path
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, (B, 1, 1))
+            cls = cls + jnp.where(mask, mlp_cls / keep, 0.0)
+            patches = patches + jnp.where(mask[..., None],
+                                          mlp_patch / keep, 0.0)
+        return cls, patches
 
 
 class _BlockScanBody(nn.Module):
@@ -108,20 +121,19 @@ class _BlockScanBody(nn.Module):
     drop_path: float
     is_tanh_gating: bool
     impl: str
-    time_n: int
-    space_f: int
     deterministic: bool
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, _):
-        x = SpaceTimeBlock(
+    def __call__(self, carry, _):
+        cls, patches = carry
+        cls, patches = SpaceTimeBlock(
             dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             drop=self.drop, drop_path=self.drop_path,
             is_tanh_gating=self.is_tanh_gating, impl=self.impl,
             dtype=self.dtype, name="block",
-        )(x, self.time_n, self.space_f, deterministic=self.deterministic)
-        return x, None
+        )(cls, patches, deterministic=self.deterministic)
+        return (cls, patches), None
 
 
 class TimeMamba(nn.Module):
@@ -164,14 +176,17 @@ class TimeMamba(nn.Module):
                          (1, n + 1, D))
         feat = feat + pos.astype(feat.dtype)
 
-        # layout: keep batch-0 cls, patches to (B, (n t), D) (:357-362)
+        # layout: batch-0 cls kept separate; patches (B, n, T, D) patch-major
+        # (:357-362) — the joint [cls; (n t)] sequence is never materialized
+        # (two full-tensor copies per block saved; see SpaceTimeBlock)
         cls_tokens = feat[:B, :1]
         patches = feat[:, 1:].reshape(B, T, n, D).transpose(0, 2, 1, 3)
-        patches = patches.reshape(B, n * T, D)
-        h = jnp.concatenate([cls_tokens, patches], axis=1)
         if self.ln_pre:
-            h = nn.LayerNorm(name="ln_pre")(h)
-        h = nn.Dropout(self.drop_rate)(h, deterministic=deterministic)
+            ln_pre = nn.LayerNorm(name="ln_pre")
+            cls_tokens, patches = ln_pre(cls_tokens), ln_pre(patches)
+        drop = nn.Dropout(self.drop_rate)
+        cls_tokens = drop(cls_tokens, deterministic=deterministic)
+        patches = drop(patches, deterministic=deterministic)
 
         if self.scan_blocks:
             body = nn.remat(_BlockScanBody) if self.remat else _BlockScanBody
@@ -184,22 +199,22 @@ class TimeMamba(nn.Module):
                 dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 drop=self.drop_rate, drop_path=self.drop_path_rate,
                 is_tanh_gating=self.is_tanh_gating, impl=self.impl,
-                time_n=n, space_f=T, deterministic=deterministic,
+                deterministic=deterministic,
                 dtype=self.dtype, name="blocks",
             )
-            h, _ = scanned(h, None)
+            (cls_tokens, patches), _ = scanned((cls_tokens, patches), None)
         else:
             dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                    for i in range(self.depth)]
             for i in range(self.depth):
-                h = SpaceTimeBlock(
+                cls_tokens, patches = SpaceTimeBlock(
                     dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                     drop=self.drop_rate, drop_path=dpr[i],
                     is_tanh_gating=self.is_tanh_gating, impl=self.impl,
                     dtype=self.dtype, name=f"block{i}",
-                )(h, time_n=n, space_f=T, deterministic=deterministic)
+                )(cls_tokens, patches, deterministic=deterministic)
 
-        h = nn.LayerNorm(name="norm")(h)[:, 0]           # cls at last (:377)
+        h = nn.LayerNorm(name="norm")(cls_tokens)[:, 0]  # cls at last (:377)
         if self.output_dim is not None:
             proj = self.param(
                 "image_projection",

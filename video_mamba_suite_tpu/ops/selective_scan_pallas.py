@@ -11,14 +11,18 @@ in-chunk forward states, and runs the adjoint (suffix) scan — the
 `BlockReverseScan` analogue (reverse_scan.cuh:19-100).
 
 Design:
-  * Grid: (batch, dim_tiles, seq_chunks); the seq axis is innermost so a VMEM
-    scratch buffer carries the running state across chunks of one (b, d-tile).
-  * In-kernel chunk layout: (chunk, dstate, d_tile) with d_tile riding the
-    TPU lane axis (128) and dstate on sublanes.
-  * The first-order recurrence is evaluated with an exact
-    `lax.associative_scan` over the chunk axis — the same
-    (a1,b1)∘(a2,b2)=(a1·a2, a2·b1+b2) operator the CUDA kernel feeds to
-    cub::BlockScan — avoiding the numerically unstable cumsum-of-logs trick.
+  * Grid: (batch_tiles, dim_tiles, seq_chunks); the seq axis is innermost so
+    a VMEM scratch buffer carries the running (bt, n, d) state across chunks
+    of one (batch-tile, d-tile).
+  * In-kernel layout: blocks (bt, chunk, d_tile) with d_tile riding the TPU
+    lane axis (128); the recurrence state is (bt, dstate, d_tile).
+  * The recurrence runs as a SEQUENTIAL unrolled walk over the chunk's
+    timesteps — 2 FMAs per (b, n, d) lane where a parallel scan does
+    2·log2(c) — with the batch tiled into the block so every step still
+    fills the VPU. This is the same work-vs-depth choice the CUDA kernel
+    makes per thread (sequential within a thread's items, scan only across
+    threads, selective_scan_fwd_kernel.cuh:214-248); measured ~2.6x the
+    Hillis–Steele in-chunk variant it replaced.
   * delta-bias + softplus, discretization, C-projection, D-skip and SiLU(z)
     gating are all fused into the kernel (SSMParamsBase semantics,
     selective_scan.h:26-101).
@@ -41,11 +45,24 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Empirically best on v5e at Mamba scales (b8 l2048 d1024 n16 sweep:
-# chunk 32 / dtile 256 ≈ 3.5M tok/s vs 3.1M at 128/128): smaller chunks cut
-# the Hillis–Steele pass count (log2 c), larger d-tiles amortize grid steps.
-DEFAULT_CHUNK = 32
+# Empirically best on v5e at Mamba scales (b8 l2048 d1024 n16 sweep of the
+# sequential-chunk kernel: fwd 7.6 Mtok/s at chunk 64, 8.3 at 128 — but the
+# bwd's per-step state recompute only fits VMEM up to chunk 64).
+DEFAULT_CHUNK = 64
 DEFAULT_DTILE = 256
+# Long-path batch tiling: bt ≈ LONG_BT_ELEMS/chunk rows of the batch ride in
+# each block so the sequential in-chunk walk fills the VPU; the bwd cap is
+# lower because it holds chunk recomputed (bt, n, dtile) states in VMEM.
+LONG_BT_ELEMS = 1024
+LONG_BT_ELEMS_BWD = 128
+
+
+def _batch_tile(batch: int, chunk: int, elems: int) -> int:
+    """Largest batch tile ≤ elems/chunk with minimal padding waste: split the
+    batch into the fewest tiles, then size tiles evenly."""
+    cap = max(1, elems // chunk)
+    nbt = -(-batch // cap)
+    return -(-batch // nbt)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -56,87 +73,23 @@ def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
-def _row(x, i: int):
-    """x[i] for static i via lax.slice (Mosaic has no dynamic_slice)."""
-    c = x.shape[0]
-    i = i % c
-    return jax.lax.squeeze(jax.lax.slice_in_dim(x, i, i + 1, axis=0), (0,))
-
-
-def _combine(lhs, rhs):
-    a1, b1 = lhs
-    a2, b2 = rhs
-    return a1 * a2, a2 * b1 + b2
-
-
-def _take(x, sl, axis):
-    return jax.lax.slice_in_dim(x, sl.start, sl.stop, axis=axis)
-
-
-def _inclusive_scan(a, b, axis: int = 0):
-    """Hillis–Steele inclusive scan of the pair (a, b) over `axis`.
-
-    x_t = a_t · x_{t-1} + b_t; returns (a_cum, h) where a_cum_t = ∏_{s≤t} a_s
-    and h_t is the recurrence value with x_{-1}=0. Uses only static
-    concatenations and elementwise ops so it lowers cleanly through Mosaic
-    (the generic `lax.associative_scan` emits zero-size slices Mosaic
-    rejects). log2(c) passes over the chunk in VMEM.
-    """
-    c = a.shape[axis]
-    shift = 1
-    while shift < c:
-        head_a = jnp.ones_like(_take(a, slice(0, shift), axis))
-        head_b = jnp.zeros_like(head_a)
-        a_prev = jnp.concatenate([head_a, _take(a, slice(0, c - shift), axis)],
-                                 axis=axis)
-        b_prev = jnp.concatenate([head_b, _take(b, slice(0, c - shift), axis)],
-                                 axis=axis)
-        b = a * b_prev + b
-        a = a * a_prev
-        shift *= 2
-    return a, b
-
-
-def _reverse_scan(a, s, axis: int = 0):
-    """Hillis–Steele suffix scan: x_t = a_t · x_{t+1} + s_t (x_c = 0).
-
-    Mirror of `_inclusive_scan` shifted the other way (Mosaic lowers neither
-    `rev` nor odd-size associative_scan slices, so no flip-scan-flip).
-    """
-    c = a.shape[axis]
-    shift = 1
-    while shift < c:
-        tail_a = jnp.ones_like(_take(a, slice(0, shift), axis))
-        tail_s = jnp.zeros_like(tail_a)
-        a_next = jnp.concatenate([_take(a, slice(shift, c), axis), tail_a],
-                                 axis=axis)
-        s_next = jnp.concatenate([_take(s, slice(shift, c), axis), tail_s],
-                                 axis=axis)
-        s = a * s_next + s
-        a = a * a_next
-        shift *= 2
-    return s
-
-
-def _discretize(u_ref, delta_ref, b_ref, a_t, bias_t, softplus: bool,
+def _chunk_prep(u_ref, delta_ref, b_ref, c_ref, bias_t, softplus: bool,
                 li, chunk: int, seqlen: int):
-    """Shared fwd/bwd prologue: load one chunk, discretize, mask padding.
-
-    Timesteps at or beyond the true seqlen get dt = 0 (⇒ a = 1, bu = 0, an
-    identity scan element), so seq padding never perturbs the carried state.
-    Returns (u, dt_pre, dt, mask, a, bu): u/dt/mask (c, d) fp32,
-    a/bu (c, n, d) fp32.
+    """Shared fwd/bwd prologue: load one (bt, chunk, d) block, discretize,
+    mask padding. Timesteps at or beyond the true seqlen get dt = 0 (⇒ a = 1,
+    bu = 0, an identity scan element), so seq padding never perturbs the
+    carried state. B/C are transposed ONCE to (bt, n, c) so the step loop
+    slices time on lanes (see _short_prep).
     """
-    u = u_ref[0].astype(jnp.float32)             # (c, d)
-    dt_pre = delta_ref[0].astype(jnp.float32) + bias_t  # (c, d)
+    u = u_ref[...].astype(jnp.float32)             # (bt, c, d)
+    dt_pre = delta_ref[...].astype(jnp.float32) + bias_t[None]
     dt = jax.nn.softplus(dt_pre) if softplus else dt_pre
-    pos = li * chunk + jax.lax.broadcasted_iota(jnp.int32, dt.shape, 0)
-    mask = (pos < seqlen).astype(jnp.float32)    # (c, d)
+    pos = li * chunk + jax.lax.broadcasted_iota(jnp.int32, dt.shape, 1)
+    mask = (pos < seqlen).astype(jnp.float32)      # (bt, c, d)
     dt = dt * mask
-    bmat = b_ref[0, 0].astype(jnp.float32)       # (c, n)
-    a = jnp.exp(dt[:, None, :] * a_t[None])      # (c, n, d)
-    bu = (dt * u)[:, None, :] * bmat[:, :, None]  # (c, n, d)
-    return u, dt_pre, dt, mask, a, bu
+    bmat = jnp.swapaxes(b_ref[0].astype(jnp.float32), 1, 2)  # (bt, n, c)
+    cmat = jnp.swapaxes(c_ref[0].astype(jnp.float32), 1, 2)
+    return u, dt_pre, dt, mask, bmat, cmat
 
 
 def _fwd_kernel(
@@ -146,41 +99,56 @@ def _fwd_kernel(
     *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
     chunk: int, seqlen: int,
 ):
+    """Sequential in-chunk walk over (bt, n, d) state tiles.
+
+    The recurrence runs as an unrolled SEQUENTIAL loop over the chunk's
+    timesteps — 2 FMAs per (b, n, d) lane where a Hillis–Steele pass does
+    2·log2(c) — with the batch tiled into the block so every step still
+    fills the VPU (the same work-vs-depth choice as the CUDA kernel's
+    per-thread items, selective_scan_fwd_kernel.cuh:214-248, and as this
+    file's short-seq path). The carried (bt, n, d) prefix in VMEM scratch is
+    the smem_running_prefix analogue (:251-254); chunk-initial states are
+    checkpointed to HBM for the backward (x_ptr, selective_scan.cpp:249).
+    Measured ~2.6x the Hillis–Steele in-chunk variant it replaced
+    (b8 l2048 d1024 n16 on v5e).
+    """
     li = pl.program_id(2)
 
     @pl.when(li == 0)
     def _():
         # initial state: zeros normally; an incoming prefix when the caller
-        # chains shards (sequence parallelism) or resumes a stream — the
-        # smem_running_prefix seeding of the CUDA kernel (:251-254)
-        h_carry[...] = h0_ref[0]
+        # chains shards (sequence parallelism) or resumes a stream
+        h_carry[...] = h0_ref[...]
 
-    a_t = a_ref[...].astype(jnp.float32)         # (n, d) — A tile, transposed
-    bias_t = bias_ref[0].astype(jnp.float32)     # (1, d) broadcasts over c
-    u, _, dt, _, a, bu = _discretize(
-        u_ref, delta_ref, b_ref, a_t, bias_t, softplus, li, chunk, seqlen)
+    a_t = a_ref[...].astype(jnp.float32)           # (n, d) — A tile, transposed
+    bias_t = bias_ref[0].astype(jnp.float32)       # (d,) broadcasts
+    u, _, dt, _, bmat, cmat = _chunk_prep(
+        u_ref, delta_ref, b_ref, c_ref, bias_t, softplus, li, chunk, seqlen)
+    bt, c, d = u.shape
+    dtu = dt * u
 
-    h0 = h_carry[...]                            # (n, d) carried prefix state
-    states_ref[0, 0] = h0                        # checkpoint for the backward
+    h = h_carry[...]                               # (bt, n, d) carried prefix
+    states_ref[...] = h[:, None]                   # checkpoint for the bwd
 
-    a_cum, h_in = _inclusive_scan(a, bu)
-    h = h_in + a_cum * h0[None]                  # (c, n, d) full states
+    ys = [None] * c
+    for t in range(c):
+        a = jnp.exp(_row1(dt, t)[:, None, :] * a_t[None])
+        h = a * h + _row1(dtu, t)[:, None, :] * _col(bmat, t)
+        ys[t] = jnp.sum(h * _col(cmat, t), axis=1)[:, None]
+    y = jnp.concatenate(ys, axis=1)                # (bt, c, d)
 
-    c_mat = c_ref[0, 0].astype(jnp.float32)      # (c, n)
-    y = jnp.sum(h * c_mat[:, :, None], axis=1)   # (c, d)
     if has_d:
-        y = y + u * d_ref[0].astype(jnp.float32)
+        y = y + u * d_ref[0].astype(jnp.float32)[None]
     if has_z:
-        z = z_ref[0].astype(jnp.float32)
+        z = z_ref[...].astype(jnp.float32)
         y = y * (z * jax.nn.sigmoid(z))
-    out_ref[0] = y.astype(out_ref.dtype)
+    out_ref[...] = y.astype(out_ref.dtype)
 
-    h_last = _row(h, -1)
-    h_carry[...] = h_last
+    h_carry[...] = h
 
     @pl.when(li == nchunks - 1)
     def _():
-        last_ref[0] = h_last
+        last_ref[...] = h
 
 
 def _bwd_kernel(
@@ -192,100 +160,119 @@ def _bwd_kernel(
     *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
     chunk: int, seqlen: int,
 ):
+    """Reverse chunk walk: recompute in-chunk forward states from the
+    checkpointed chunk-initial state (the CUDA bwd's x_ptr recompute,
+    bwd_kernel.cuh:141-146), then run the sequential adjoint recurrence
+    dh_t = C_t⊗gy_t + a_{t+1}⊙dh_{t+1} backwards through the chunk,
+    carrying the cross-chunk cotangent in VMEM scratch."""
     li = pl.program_id(2)  # index maps reverse it: li=0 is the LAST chunk
 
     @pl.when(li == 0)
     def _():
         # adjoint seeded with the last-state cotangent (exact, unlike the
         # reference SelectiveScanFn which drops it)
-        dh_carry[...] = glast_ref[0]
+        dh_carry[...] = glast_ref[...]
         da_ref[0] = jnp.zeros_like(da_ref[0])
         dd_ref[0] = jnp.zeros_like(dd_ref[0])
         dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
 
     a_t = a_ref[...].astype(jnp.float32)
     bias_t = bias_ref[0].astype(jnp.float32)
-    u, dt_pre, dt, mask, a, bu = _discretize(
-        u_ref, delta_ref, b_ref, a_t, bias_t, softplus,
+    u, dt_pre, dt, mask, bmat, cmat = _chunk_prep(
+        u_ref, delta_ref, b_ref, c_ref, bias_t, softplus,
         nchunks - 1 - li, chunk, seqlen)
+    bt, c, d = u.shape
+    n = a_t.shape[0]
+    dtu = dt * u
 
-    # Recompute in-chunk forward states from the checkpointed chunk-initial
-    # state (the CUDA bwd does the same from x_ptr, bwd_kernel.cuh:141-146).
-    h0 = states_ref[0, 0]                        # (n, d)
-    a_cum, h_in = _inclusive_scan(a, bu)
-    h = h_in + a_cum * h0[None]                  # (c, n, d)
-    h_prev = jnp.concatenate([h0[None], h[:-1]], axis=0)
+    # forward recompute from the chunk-initial checkpoint, keeping per-step
+    # states in VMEM (a_step is recomputed in the reverse loop — exp is
+    # cheap on the VPU, a second c·bt·n·d buffer is not)
+    h0 = states_ref[...][:, 0]                     # (bt, n, d)
+    h = h0
+    hs = [None] * c
+    for t in range(c):
+        a = jnp.exp(_row1(dt, t)[:, None, :] * a_t[None])
+        h = a * h + _row1(dtu, t)[:, None, :] * _col(bmat, t)
+        hs[t] = h
 
-    g = g_ref[0].astype(jnp.float32)             # (c, d) dL/dout
-    c_mat = c_ref[0, 0].astype(jnp.float32)      # (c, n)
-
+    g = g_ref[...].astype(jnp.float32)             # (bt, c, d) dL/dout
     if has_z:
-        z = z_ref[0].astype(jnp.float32)
+        z = z_ref[...].astype(jnp.float32)
         sig = jax.nn.sigmoid(z)
         silu = z * sig
-        y_pre = jnp.sum(h * c_mat[:, :, None], axis=1)
+        ys = [jnp.sum(hs[t] * _col(cmat, t), axis=1)[:, None]
+              for t in range(c)]
+        y_pre = jnp.concatenate(ys, axis=1)
         if has_d:
-            y_pre = y_pre + u * d_ref[0].astype(jnp.float32)
-        dz = g * y_pre * (sig + silu * (1.0 - sig))
-        dz_ref[0] = dz.astype(dz_ref.dtype)
-        gy = g * silu                            # grad w.r.t. pre-gate y
+            y_pre = y_pre + u * d_ref[0].astype(jnp.float32)[None]
+        dz_ref[...] = (g * y_pre * (sig + silu * (1.0 - sig))).astype(
+            dz_ref.dtype)
+        gy = g * silu                              # grad w.r.t. pre-gate y
     else:
         gy = g
 
-    # dC[t,n] = Σ_d gy[t,d] · h[t,n,d]  (this tile's partial over d)
-    dc_ref[0, 0] = jnp.sum(gy[:, None, :] * h, axis=2).astype(dc_ref.dtype)
-
-    # Adjoint recurrence dh_t = C_t⊗gy_t + a_{t+1}⊙dh_{t+1}: a reverse
-    # (suffix) scan with pair (a_{t+1}, s_t). The cross-chunk term a_first·dh
-    # of chunk t+1 arrives via dh_carry and is absorbed into the last source.
-    s = c_mat[:, :, None] * gy[:, None, :]       # (c, n, d)
-    dh_next = dh_carry[...]                      # already includes a_first
-    s = jnp.concatenate([s[:-1], (_row(s, -1) + dh_next)[None]], axis=0)
-    a_shift = jnp.concatenate([a[1:], jnp.ones_like(a[:1])], axis=0)
-    dh = _reverse_scan(a_shift, s)               # (c, n, d)
-    dh_carry[...] = _row(a, 0) * _row(dh, 0)     # carry to previous chunk
+    # reverse sequential adjoint; dh_carry arrives as a_first·dh of the
+    # NEXT chunk (already folded), leaves as this chunk's same quantity
+    dh = dh_carry[...]                             # (bt, n, d)
+    da_acc = jnp.zeros((n, d), jnp.float32)
+    dcs, dbs, ddts, dus = [None] * c, [None] * c, [None] * c, [None] * c
+    for t in range(c - 1, -1, -1):
+        gy_t = _row1(gy, t)                        # (bt, d)
+        a = jnp.exp(_row1(dt, t)[:, None, :] * a_t[None])
+        dh = _col(cmat, t) * gy_t[:, None, :] + dh
+        h_prev = hs[t - 1] if t > 0 else h0
+        da_el = dh * h_prev * a                    # (bt, n, d)
+        da_acc = da_acc + jnp.sum(da_el * _row1(dt, t)[:, None, :], axis=0)
+        dcs[t] = jnp.sum(gy_t[:, None, :] * hs[t], axis=2)[:, :, None]
+        dbs[t] = jnp.sum(dh * _row1(dtu, t)[:, None, :], axis=2)[:, :, None]
+        dh_b = jnp.sum(dh * _col(bmat, t), axis=1)  # (bt, d)
+        ddts[t] = (jnp.sum(da_el * a_t[None], axis=1)
+                   + dh_b * _row1(u, t))[:, None]
+        dus[t] = (dh_b * _row1(dt, t))[:, None]
+        dh = a * dh
+    dh_carry[...] = dh
 
     @pl.when(li == nchunks - 1)
     def _():
         # after chunk 0 the carry IS ∂L/∂h0 (the incoming-prefix cotangent)
-        dh0_ref[0] = dh_carry[...]
+        dh0_ref[...] = dh
 
-    da_el = dh * h_prev                          # ∂L/∂a_t (c, n, d)
-    da_ref[0] += jnp.sum(da_el * a * dt[:, None, :], axis=0)  # → dA (n, d)
-
-    # dB[t,n] = Σ_d dh[t,n,d] · dt·u
-    db_ref[0, 0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2).astype(db_ref.dtype)
-
-    bmat = b_ref[0, 0].astype(jnp.float32)       # (c, n)
-    dh_b = jnp.sum(dh * bmat[:, :, None], axis=1)  # Σ_n dh·B (c, d)
-    du = dh_b * dt
+    da_ref[0] += da_acc
+    dc_ref[0] = jnp.swapaxes(
+        jnp.concatenate(dcs, axis=2), 1, 2).astype(dc_ref.dtype)
+    db_ref[0] = jnp.swapaxes(
+        jnp.concatenate(dbs, axis=2), 1, 2).astype(db_ref.dtype)
+    du = jnp.concatenate(dus, axis=1)              # (bt, c, d)
     if has_d:
         dval = d_ref[0].astype(jnp.float32)
-        du = du + gy * dval
-        dd_ref[0] += jnp.sum(gy * u, axis=0, keepdims=True)
-    du_ref[0] = du.astype(du_ref.dtype)
-
-    ddt = jnp.sum(da_el * a * a_t[None], axis=1) + dh_b * u
+        du = du + gy * dval[None]
+        dd_ref[0] += jnp.sum(gy * u, axis=(0, 1), keepdims=False)[None]
+    du_ref[...] = du.astype(du_ref.dtype)
+    ddt = jnp.concatenate(ddts, axis=1)
     if softplus:
         ddt = ddt * jax.nn.sigmoid(dt_pre)
     ddt = ddt * mask  # padded steps contribute nothing to dbias
-    ddelta_ref[0] = ddt.astype(ddelta_ref.dtype)
-    dbias_ref[0] += jnp.sum(ddt, axis=0, keepdims=True)
+    ddelta_ref[...] = ddt.astype(ddelta_ref.dtype)
+    dbias_ref[0] += jnp.sum(ddt, axis=(0, 1), keepdims=False)[None]
 
 
-def _pad_args(u, delta, B, C, z, g, chunk, dtile):
+def _pad_args(u, delta, B, C, z, g, bt, chunk, dtile):
     b, l, d = u.shape
+    bp = _round_up(b, bt)
     lp, dp = _round_up(l, chunk), _round_up(d, dtile)
-    pad_l, pad_d = lp - l, dp - d
+    pad_b, pad_l, pad_d = bp - b, lp - l, dp - d
 
     def pad_ld(x):
-        return jnp.pad(x, ((0, 0), (0, pad_l), (0, pad_d))) if x is not None else None
+        if x is None:
+            return None
+        return jnp.pad(x, ((0, pad_b), (0, pad_l), (0, pad_d)))
 
     # B/C → group-major (G, batch, lp, n): Mosaic needs the last two block
     # dims tile-aligned, so the group axis cannot sit next to dstate
-    Bp = jnp.pad(B, ((0, 0), (0, pad_l), (0, 0), (0, 0))).transpose(2, 0, 1, 3)
-    Cp = jnp.pad(C, ((0, 0), (0, pad_l), (0, 0), (0, 0))).transpose(2, 0, 1, 3)
-    return (pad_ld(u), pad_ld(delta), Bp, Cp, pad_ld(z), pad_ld(g), lp, dp)
+    Bp = jnp.pad(B, ((0, pad_b), (0, pad_l), (0, 0), (0, 0))).transpose(2, 0, 1, 3)
+    Cp = jnp.pad(C, ((0, pad_b), (0, pad_l), (0, 0), (0, 0))).transpose(2, 0, 1, 3)
+    return (pad_ld(u), pad_ld(delta), Bp, Cp, pad_ld(z), pad_ld(g), bp, lp, dp)
 
 
 def _pad_params(A, D, delta_bias, dim, dp):
@@ -301,31 +288,32 @@ def _pad_params(A, D, delta_bias, dim, dp):
     return At, Dp, biasp
 
 
-def _specs(chunk, dtile, dstate, nchunks, has_z, reverse, ngroups=1, ndt=1):
+def _specs(bt, chunk, dtile, dstate, nchunks, has_z, reverse,
+           ngroups=1, ndt=1):
     tiles_per_group = max(ndt // ngroups, 1)
 
-    def ld(b, di, li):
-        return (b, nchunks - 1 - li, di) if reverse else (b, li, di)
+    def ld(bi, di, li):
+        return (bi, nchunks - 1 - li, di) if reverse else (bi, li, di)
 
-    def ln(b, di, li):
+    def ln(bi, di, li):
         g = di // tiles_per_group
-        return ((g, b, nchunks - 1 - li, 0) if reverse else (g, b, li, 0))
+        return ((g, bi, nchunks - 1 - li, 0) if reverse else (g, bi, li, 0))
 
-    ld_spec = pl.BlockSpec((1, chunk, dtile), ld, memory_space=pltpu.VMEM)
-    ln_spec = pl.BlockSpec((1, 1, chunk, dstate), ln, memory_space=pltpu.VMEM)
+    ld_spec = pl.BlockSpec((bt, chunk, dtile), ld, memory_space=pltpu.VMEM)
+    ln_spec = pl.BlockSpec((1, bt, chunk, dstate), ln, memory_space=pltpu.VMEM)
     z_spec = (
         ld_spec if has_z
-        else pl.BlockSpec((1, 1, dtile), lambda b, di, li: (b, 0, di),
+        else pl.BlockSpec((bt, 1, dtile), lambda bi, di, li: (bi, 0, di),
                           memory_space=pltpu.VMEM)
     )
-    a_spec = pl.BlockSpec((dstate, dtile), lambda b, di, li: (0, di),
+    a_spec = pl.BlockSpec((dstate, dtile), lambda bi, di, li: (0, di),
                           memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((1, dtile), lambda b, di, li: (0, di),
+    vec_spec = pl.BlockSpec((1, dtile), lambda bi, di, li: (0, di),
                             memory_space=pltpu.VMEM)
     states_spec = pl.BlockSpec(
-        (1, 1, dstate, dtile),
-        (lambda b, di, li: (b, nchunks - 1 - li, 0, di)) if reverse
-        else (lambda b, di, li: (b, li, 0, di)),
+        (bt, 1, dstate, dtile),
+        (lambda bi, di, li: (bi, nchunks - 1 - li, 0, di)) if reverse
+        else (lambda bi, di, li: (bi, li, 0, di)),
         memory_space=pltpu.VMEM,
     )
     return ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec
@@ -336,13 +324,13 @@ _COMPILER_PARAMS = dict(
 )
 
 
-def _pad_h0(h0, batch, dim, dstate, dp, u_dtype):
+def _pad_h0(h0, bp, dim, dstate, dp, u_dtype):
     """External (batch, dim, dstate) initial state → internal padded
-    (batch, dstate, dp) fp32 (zeros when absent)."""
+    (bp, dstate, dp) fp32 (zeros when absent)."""
     if h0 is None:
-        return jnp.zeros((batch, dstate, dp), jnp.float32)
+        return jnp.zeros((bp, dstate, dp), jnp.float32)
     h0t = jnp.swapaxes(h0.astype(jnp.float32), 1, 2)   # (batch, dstate, dim)
-    return jnp.pad(h0t, ((0, 0), (0, 0), (0, dp - dim)))
+    return jnp.pad(h0t, ((0, bp - h0.shape[0]), (0, 0), (0, dp - dim)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
@@ -361,19 +349,22 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
     dstate = A.shape[1]
     ngroups = B.shape[2]
     has_d, has_z = D is not None, z is not None
+    bt = _batch_tile(batch, chunk, LONG_BT_ELEMS)
 
-    up, deltap, Bp, Cp, zp, _, lp, dp = _pad_args(u, delta, B, C, z, None, chunk, dtile)
-    nchunks, ndt = lp // chunk, dp // dtile
+    up, deltap, Bp, Cp, zp, _, bp, lp, dp = _pad_args(
+        u, delta, B, C, z, None, bt, chunk, dtile)
+    nbt, nchunks, ndt = bp // bt, lp // chunk, dp // dtile
     At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
-    h0p = _pad_h0(h0, batch, dim, dstate, dp, u.dtype)
+    h0p = _pad_h0(h0, bp, dim, dstate, dp, u.dtype)
     if zp is None:
-        zp = jnp.zeros((batch, 1, dp), u.dtype)  # dummy, never read
+        zp = jnp.zeros((bp, 1, dp), u.dtype)  # dummy, never read
 
     ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec = _specs(
-        chunk, dtile, dstate, nchunks, has_z, reverse=False,
+        bt, chunk, dtile, dstate, nchunks, has_z, reverse=False,
         ngroups=ngroups, ndt=ndt,
     )
-    last_spec = pl.BlockSpec((1, dstate, dtile), lambda b, di, li: (b, 0, di),
+    last_spec = pl.BlockSpec((bt, dstate, dtile),
+                             lambda bi, di, li: (bi, 0, di),
                              memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
@@ -382,22 +373,22 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
     )
     out, states, last = pl.pallas_call(
         kernel,
-        grid=(batch, ndt, nchunks),
+        grid=(nbt, ndt, nchunks),
         in_specs=[ld_spec, ld_spec, a_spec, ln_spec, ln_spec, vec_spec, z_spec,
                   vec_spec, last_spec],
         out_specs=[ld_spec, states_spec, last_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, lp, dp), u.dtype),
-            jax.ShapeDtypeStruct((batch, nchunks, dstate, dp), jnp.float32),
-            jax.ShapeDtypeStruct((batch, dstate, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, lp, dp), u.dtype),
+            jax.ShapeDtypeStruct((bp, nchunks, dstate, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((dstate, dtile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, dstate, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
         interpret=interpret,
     )(up, deltap, At, Bp, Cp, Dp, zp, biasp, h0p)
 
-    out = out[:, :seqlen, :dim]
-    last_state = jnp.swapaxes(last, 1, 2)[:, :dim]  # (batch, dim, dstate)
+    out = out[:batch, :seqlen, :dim]
+    last_state = jnp.swapaxes(last, 1, 2)[:batch, :dim]  # (batch, dim, dstate)
     return out, states, last_state
 
 
@@ -419,36 +410,45 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
     batch, seqlen, dim = u.shape
     dstate = A.shape[1]
     has_d, has_z = D is not None, z is not None
+    # the bwd holds the per-step recomputed states (chunk · bt·n·dtile fp32)
+    # in VMEM — cap its batch tile independently of the fwd's
+    bt = _batch_tile(batch, chunk, LONG_BT_ELEMS_BWD)
 
     ngroups = B.shape[2]
-    up, deltap, Bp, Cp, zp, gp, lp, dp = _pad_args(
-        u, delta, B, C, z, g.astype(jnp.float32), chunk, dtile
+    up, deltap, Bp, Cp, zp, gp, bp, lp, dp = _pad_args(
+        u, delta, B, C, z, g.astype(jnp.float32), bt, chunk, dtile
     )
-    nchunks, ndt = lp // chunk, dp // dtile
+    nbt, nchunks, ndt = bp // bt, lp // chunk, dp // dtile
     At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
-    glastp = _pad_h0(g_last, batch, dim, dstate, dp, u.dtype)
+    glastp = _pad_h0(g_last, bp, dim, dstate, dp, u.dtype)
     if zp is None:
-        zp = jnp.zeros((batch, 1, dp), u.dtype)
+        zp = jnp.zeros((bp, 1, dp), u.dtype)
+
+    # states were checkpointed with the FWD's batch tile; re-pad if needed
+    if states.shape[0] != bp:
+        states = jnp.pad(states, ((0, bp - states.shape[0]),) +
+                         ((0, 0),) * (states.ndim - 1))
 
     ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec = _specs(
-        chunk, dtile, dstate, nchunks, has_z, reverse=True,
+        bt, chunk, dtile, dstate, nchunks, has_z, reverse=True,
         ngroups=ngroups, ndt=ndt,
     )
-    # per-batch accumulators (consecutive revisits only within one (b, di))
-    acc_nd = pl.BlockSpec((1, dstate, dtile), lambda b, di, li: (b, 0, di),
+    # per-batch-tile accumulators (consecutive revisits within one (bi, di))
+    acc_nd = pl.BlockSpec((1, dstate, dtile), lambda bi, di, li: (bi, 0, di),
                           memory_space=pltpu.VMEM)
-    acc_vec = pl.BlockSpec((1, 1, dtile), lambda b, di, li: (b, 0, di),
+    acc_vec = pl.BlockSpec((1, 1, dtile), lambda bi, di, li: (bi, 0, di),
                            memory_space=pltpu.VMEM)
     # dB/dC are reductions over dim: each d-tile writes its own partial
     # (block index includes di — revisits across di are NOT consecutive, so
     # in-place accumulation would be overwritten); summed over di outside.
     bc_spec = pl.BlockSpec(
-        (1, 1, chunk, dstate),
-        lambda b, di, li: (b, di, nchunks - 1 - li, 0),
+        (1, bt, chunk, dstate),
+        lambda bi, di, li: (di, bi, nchunks - 1 - li, 0),
         memory_space=pltpu.VMEM,
     )
 
-    glast_spec = pl.BlockSpec((1, dstate, dtile), lambda b, di, li: (b, 0, di),
+    glast_spec = pl.BlockSpec((bt, dstate, dtile),
+                              lambda bi, di, li: (bi, 0, di),
                               memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
@@ -457,44 +457,44 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
     )
     du, ddelta, dA_bt, dB, dC, dD_b, dz, dbias_b, dh0 = pl.pallas_call(
         kernel,
-        grid=(batch, ndt, nchunks),
+        grid=(nbt, ndt, nchunks),
         in_specs=[ld_spec, ld_spec, a_spec, ln_spec, ln_spec, vec_spec, z_spec,
                   vec_spec, states_spec, ld_spec, glast_spec],
         out_specs=[ld_spec, ld_spec, acc_nd, bc_spec, bc_spec, acc_vec,
                    ld_spec, acc_vec, glast_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # du
-            jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # ddelta
-            jax.ShapeDtypeStruct((batch, dstate, dp), jnp.float32),  # dA per-b
-            jax.ShapeDtypeStruct((batch, ndt, lp, dstate), jnp.float32),  # dB per-tile
-            jax.ShapeDtypeStruct((batch, ndt, lp, dstate), jnp.float32),  # dC per-tile
-            jax.ShapeDtypeStruct((batch, 1, dp), jnp.float32),       # dD per-b
-            jax.ShapeDtypeStruct((batch, lp, dp), jnp.float32),      # dz
-            jax.ShapeDtypeStruct((batch, 1, dp), jnp.float32),       # dbias per-b
-            jax.ShapeDtypeStruct((batch, dstate, dp), jnp.float32),  # dh0
+            jax.ShapeDtypeStruct((bp, lp, dp), jnp.float32),      # du
+            jax.ShapeDtypeStruct((bp, lp, dp), jnp.float32),      # ddelta
+            jax.ShapeDtypeStruct((nbt, dstate, dp), jnp.float32),  # dA parts
+            jax.ShapeDtypeStruct((ndt, bp, lp, dstate), jnp.float32),  # dB per-tile
+            jax.ShapeDtypeStruct((ndt, bp, lp, dstate), jnp.float32),  # dC per-tile
+            jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dD parts
+            jax.ShapeDtypeStruct((bp, lp, dp), jnp.float32),      # dz
+            jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dbias parts
+            jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),  # dh0
         ],
-        scratch_shapes=[pltpu.VMEM((dstate, dtile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, dstate, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
         interpret=interpret,
     )(up, deltap, At, Bp, Cp, Dp, zp, biasp, states, gp, glastp)
 
-    du = du[:, :seqlen, :dim].astype(u.dtype)
-    ddelta = ddelta[:, :seqlen, :dim].astype(delta.dtype)
+    du = du[:batch, :seqlen, :dim].astype(u.dtype)
+    ddelta = ddelta[:batch, :seqlen, :dim].astype(delta.dtype)
     dA = jnp.sum(dA_bt, axis=0)[:, :dim].T.astype(A.dtype)
-    # per-tile partials → per-group sums: (batch, G, ndt/G, lp, n)
+    # per-tile partials (ndt, bp, lp, n) → per-group sums
     tiles_per_group = max(ndt // ngroups, 1)
-    dB = dB.reshape(batch, ngroups, tiles_per_group, lp, dstate).sum(2)
-    dC = dC.reshape(batch, ngroups, tiles_per_group, lp, dstate).sum(2)
-    dB = jnp.swapaxes(dB, 1, 2)[:, :seqlen].astype(B.dtype)
-    dC = jnp.swapaxes(dC, 1, 2)[:, :seqlen].astype(C.dtype)
+    dB = dB.reshape(ngroups, tiles_per_group, bp, lp, dstate).sum(1)
+    dC = dC.reshape(ngroups, tiles_per_group, bp, lp, dstate).sum(1)
+    dB = dB.transpose(1, 2, 0, 3)[:batch, :seqlen].astype(B.dtype)
+    dC = dC.transpose(1, 2, 0, 3)[:batch, :seqlen].astype(C.dtype)
     dD = jnp.sum(dD_b, axis=(0, 1))[:dim].astype(D.dtype) if has_d else None
-    dz = dz[:, :seqlen, :dim].astype(z.dtype) if has_z else None
+    dz = dz[:batch, :seqlen, :dim].astype(z.dtype) if has_z else None
     dbias = (
         jnp.sum(dbias_b, axis=(0, 1))[:dim].astype(delta_bias.dtype)
         if delta_bias is not None else None
     )
     dh0 = (
-        jnp.swapaxes(dh0, 1, 2)[:, :dim].astype(h0.dtype)
+        jnp.swapaxes(dh0, 1, 2)[:batch, :dim].astype(h0.dtype)
         if h0 is not None else None
     )
     return (du, ddelta, dA, dB, dC, dD, dz, dbias, dh0)
@@ -632,9 +632,19 @@ def _short_prep(u_ref, delta_ref, b_ref, c_ref, bias_t, softplus, seqlen):
     pos = jax.lax.broadcasted_iota(jnp.int32, dt.shape, 1)
     mask = (pos < seqlen).astype(jnp.float32)
     dt = dt * mask
-    bmat = b_ref[0].astype(jnp.float32)                # (bt, c, n)
-    cmat = c_ref[0].astype(jnp.float32)                # (bt, c, n)
+    # B/C transposed ONCE to (bt, n, c): the step loop then slices the time
+    # axis on LANES and broadcasts to (bt, n, d) directly — the (bt, c, n)
+    # form needs a lane→sublane relayout per step per direction, which
+    # dominated the step loop (measured ~25% of kernel time at c=16).
+    bmat = jnp.swapaxes(b_ref[0].astype(jnp.float32), 1, 2)  # (bt, n, c)
+    cmat = jnp.swapaxes(c_ref[0].astype(jnp.float32), 1, 2)  # (bt, n, c)
     return u, dt_pre, dt, mask, bmat, cmat
+
+
+def _col(x, t: int):
+    """x[:, :, t:t+1] for static t — a lane slice of the (bt, n, c) B/C
+    layout, broadcastable straight to (bt, n, d)."""
+    return jax.lax.slice_in_dim(x, t, t + 1, axis=2)
 
 
 def _row1(x, t: int):
@@ -659,9 +669,9 @@ def _short_fwd_kernel(
     ys = []
     for t in range(c):
         a_step = jnp.exp(_row1(dt, t)[:, None, :] * a_t[None])  # (bt, n, d)
-        bu = _row1(dtu, t)[:, None, :] * _row1(bmat, t)[:, :, None]
+        bu = _row1(dtu, t)[:, None, :] * _col(bmat, t)
         h = a_step * h + bu
-        ys.append(jnp.sum(h * _row1(cmat, t)[:, :, None], axis=1)[:, None])
+        ys.append(jnp.sum(h * _col(cmat, t), axis=1)[:, None])
     y = jnp.concatenate(ys, axis=1)                    # (bt, c, d)
 
     if has_d:
@@ -692,7 +702,7 @@ def _short_bwd_kernel(
     hs, a_steps = [], []
     for t in range(c):
         a_step = jnp.exp(_row1(dt, t)[:, None, :] * a_t[None])
-        bu = _row1(dtu, t)[:, None, :] * _row1(bmat, t)[:, :, None]
+        bu = _row1(dtu, t)[:, None, :] * _col(bmat, t)
         h = a_step * h + bu
         a_steps.append(a_step)
         hs.append(h)
@@ -702,7 +712,7 @@ def _short_bwd_kernel(
         z = z_ref[...].astype(jnp.float32)
         sig = jax.nn.sigmoid(z)
         silu = z * sig
-        ys = [jnp.sum(hs[t] * _row1(cmat, t)[:, :, None], axis=1)[:, None]
+        ys = [jnp.sum(hs[t] * _col(cmat, t), axis=1)[:, None]
               for t in range(c)]
         y_pre = jnp.concatenate(ys, axis=1)
         if has_d:
@@ -719,21 +729,25 @@ def _short_bwd_kernel(
     dcs, dbs, ddts, dus = [None] * c, [None] * c, [None] * c, [None] * c
     for t in range(c - 1, -1, -1):
         gy_t = _row1(gy, t)                            # (bt, d)
-        dh = _row1(cmat, t)[:, :, None] * gy_t[:, None, :] + dh_carry
+        dh = _col(cmat, t) * gy_t[:, None, :] + dh_carry
         h_prev = hs[t - 1] if t > 0 else jnp.zeros((bt, n, d), jnp.float32)
         da_el = dh * h_prev * a_steps[t]               # (bt, n, d)
         da_acc = da_acc + jnp.sum(da_el * _row1(dt, t)[:, None, :], axis=0)
-        dcs[t] = jnp.sum(gy_t[:, None, :] * hs[t], axis=2)[:, None]  # (bt,1,n)
-        dbs[t] = jnp.sum(dh * _row1(dtu, t)[:, None, :], axis=2)[:, None]
-        dh_b = jnp.sum(dh * _row1(bmat, t)[:, :, None], axis=1)  # (bt, d)
+        # dB/dC accumulated as (bt, n, 1) lane columns; transposed to the
+        # (bt, c, n) output layout ONCE after the loop (not per step)
+        dcs[t] = jnp.sum(gy_t[:, None, :] * hs[t], axis=2)[:, :, None]
+        dbs[t] = jnp.sum(dh * _row1(dtu, t)[:, None, :], axis=2)[:, :, None]
+        dh_b = jnp.sum(dh * _col(bmat, t), axis=1)     # (bt, d)
         ddts[t] = (jnp.sum(da_el * a_t[None], axis=1)
                    + dh_b * _row1(u, t))[:, None]
         dus[t] = (dh_b * _row1(dt, t))[:, None]
         dh_carry = a_steps[t] * dh
 
     da_ref[0] = da_acc
-    dc_ref[0] = jnp.concatenate(dcs, axis=1).astype(dc_ref.dtype)
-    db_ref[0] = jnp.concatenate(dbs, axis=1).astype(db_ref.dtype)
+    dc_ref[0] = jnp.swapaxes(
+        jnp.concatenate(dcs, axis=2), 1, 2).astype(dc_ref.dtype)
+    db_ref[0] = jnp.swapaxes(
+        jnp.concatenate(dbs, axis=2), 1, 2).astype(db_ref.dtype)
     du = jnp.concatenate(dus, axis=1)                  # (bt, c, d)
     if has_d:
         dval = d_ref[0].astype(jnp.float32)
@@ -958,12 +972,12 @@ def _short_bidir_fwd_kernel(
         tf, tb = i, c - 1 - i
         a_f = jnp.exp(_row1(dtf, tf)[:, None, :] * af_t[None])
         a_b = jnp.exp(_row1(dtb, tb)[:, None, :] * ab_t[None])
-        bu_f = _row1(dtuf, tf)[:, None, :] * _row1(bfm, tf)[:, :, None]
-        bu_b = _row1(dtub, tb)[:, None, :] * _row1(bbm, tb)[:, :, None]
+        bu_f = _row1(dtuf, tf)[:, None, :] * _col(bfm, tf)
+        bu_b = _row1(dtub, tb)[:, None, :] * _col(bbm, tb)
         hf = a_f * hf + bu_f
         hb = a_b * hb + bu_b
-        ysf[tf] = jnp.sum(hf * _row1(cfm, tf)[:, :, None], axis=1)[:, None]
-        ysb[tb] = jnp.sum(hb * _row1(cbm, tb)[:, :, None], axis=1)[:, None]
+        ysf[tf] = jnp.sum(hf * _col(cfm, tf), axis=1)[:, None]
+        ysb[tb] = jnp.sum(hb * _col(cbm, tb), axis=1)[:, None]
     yf = jnp.concatenate(ysf, axis=1)
     yb = jnp.concatenate(ysb, axis=1)
 
@@ -1114,7 +1128,11 @@ def selective_scan_pallas_bidir(
     seq_padded = _round_up(uf.shape[1], 8)
     if seq_padded > SHORT_SEQ_MAX:
         raise ValueError("bidir fused path is short-sequence only")
-    bt = max(1, SHORT_BT_ELEMS // seq_padded)
+    # both directions' blocks live in VMEM at once — scale the batch tile
+    # down for wider dtypes (fp32 inputs would exceed the 16 MB VMEM at the
+    # bf16-tuned tile)
+    itemsize = jnp.dtype(uf.dtype).itemsize
+    bt = max(1, SHORT_BT_ELEMS * 2 // (seq_padded * max(itemsize, 2)))
     return _short_bidir_core(
         uf, dtf, Af, Bf, Cf, Df, zf, biasf,
         ub, dtb, Ab, Bb, Cb, Db, zb, biasb,
