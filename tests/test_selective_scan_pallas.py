@@ -363,3 +363,41 @@ def test_bidir_fused_padded_seqlen():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_complex_a():
+    """Complex-A support (reference BOOL_SWITCH complex variants,
+    selective_scan.cpp:310-330): the two-channel real kernel matches the
+    complex ref, values and (assoc-adjoint) gradients."""
+    rng = jax.random.PRNGKey(17)
+    b, l, d, n = 2, 96, 32, 4
+    ks = jax.random.split(rng, 10)
+    u = jax.random.normal(ks[0], (b, l, d))
+    delta = 0.5 * jax.random.uniform(ks[1], (b, l, d))
+    A = (-0.5 * jax.random.uniform(ks[2], (d, n))
+         + 1j * jax.random.normal(ks[8], (d, n))).astype(jnp.complex64)
+    B = jax.random.normal(ks[3], (b, l, n))
+    C = jax.random.normal(ks[4], (b, l, n))
+    D = jax.random.normal(ks[5], (d,))
+    z = jax.random.normal(ks[6], (b, l, d))
+    bias = 0.5 * jax.random.uniform(ks[7], (d,))
+    kw = dict(D=D, z=z, delta_bias=bias, delta_softplus=True)
+
+    out, last = selective_scan_pallas(
+        u, delta, A, B, C, return_last_state=True, chunk=32, **kw)
+    ref, lref = selective_scan_ref(
+        u, delta, A, B, C, return_last_state=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=6e-4, atol=2e-3)
+    np.testing.assert_allclose(np.abs(np.asarray(last - lref)).max(), 0,
+                               atol=1e-3)
+
+    g = jax.random.normal(ks[9], (b, l, d))
+    gp = jax.grad(lambda *a: jnp.sum(selective_scan_pallas(
+        *a, chunk=32, **kw) * g), argnums=(0, 1, 3, 4))(u, delta, A, B, C)
+    from video_mamba_suite_tpu.ops.selective_scan import selective_scan_assoc
+    gr = jax.grad(lambda *a: jnp.sum(selective_scan_assoc(
+        *a, **kw) * g), argnums=(0, 1, 3, 4))(u, delta, A, B, C)
+    for a_, r_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
+                                   rtol=1e-5, atol=1e-5)

@@ -227,13 +227,15 @@ def selective_scan(
     """Dispatching front-end (equivalent of the reference `selective_scan_fn`).
 
     impl: 'auto' | 'pallas' | 'assoc' | 'ref'.
-    'auto' uses the Pallas chunked kernel on TPU for real A with variable B/C
-    (the shape family every Mamba module actually uses), else 'assoc'.
+    'auto' uses the Pallas chunked kernel on TPU for variable B/C (the shape
+    family every Mamba module actually uses), else 'assoc'. Complex A rides
+    the two-channel real Pallas kernel (real variable B/C only; its training
+    adjoint routes through the assoc path).
     """
     if impl == "auto":
         use_pallas = (
-            not _is_complex(A)
-            and not _is_complex(B)
+            not _is_complex(B)
+            and not _is_complex(C)
             and B.ndim >= 3
             and C.ndim >= 3
             and jax.default_backend() == "tpu"

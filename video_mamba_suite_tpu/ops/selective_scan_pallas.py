@@ -584,6 +584,11 @@ def selective_scan_pallas(
                     o, last = out
                     return unpad(o), unpad(last.swapaxes(1, 2)).swapaxes(1, 2)
                 return unpad(out)
+    if jnp.issubdtype(A.dtype, jnp.complexfloating):
+        # reference BOOL_SWITCH complex variants; real variable B/C only
+        return _selective_scan_pallas_complex(
+            u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+            return_last_state, chunk, dtile, interpret, initial_state)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     seq_padded = _round_up(u.shape[1], 8)
@@ -1137,3 +1142,189 @@ def selective_scan_pallas_bidir(
         uf, dtf, Af, Bf, Cf, Df, zf, biasf,
         ub, dtb, Ab, Bb, Cb, Db, zb, biasb,
         delta_softplus, bt, dtile, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Complex-A path
+#
+# The reference kernel dispatches real AND complex A (BOOL_SWITCH variants,
+# /root/reference/mamba/csrc/selective_scan/selective_scan.cpp:310-330, with
+# selective_scan_fwd_{fp32,fp16,bf16} real/complex stubs). Mosaic has no
+# complex dtype, so the recurrence runs in two REAL channels:
+#
+# NB: the tunneled `axon` TPU runtime in this environment has NO complex64
+# support at all (device transfer and even eager `x*(1+1j)` raise
+# UNIMPLEMENTED), so on-chip execution is blocked at the API boundary (the
+# complex A argument / complex last_state) by the platform — the kernel
+# itself touches only real tensors and is exactness-verified against the
+# complex reference in interpret mode (test_pallas_complex_a).
+#   a = exp(dt·Ar)·(cos(dt·Ai) + i·sin(dt·Ai))
+#   hr' = Re(a)·hr − Im(a)·hi + dt·B·u      (B, C, u real)
+#   hi' = Im(a)·hr + Re(a)·hi
+#   y_t = 2 · Σ_n C_t,n · hr                (the reference's `y.real * 2`)
+# Training gradients route through the XLA associative-scan adjoint (complex
+# A appears in no task suite's training path; the Pallas win is inference).
+
+
+def _cfwd_kernel(
+    u_ref, delta_ref, ar_ref, ai_ref, b_ref, c_ref, d_ref, z_ref, bias_ref,
+    out_ref, lastr_ref, lasti_ref,
+    hr_carry, hi_carry,
+    *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
+    chunk: int, seqlen: int,
+):
+    li = pl.program_id(2)
+
+    @pl.when(li == 0)
+    def _():
+        hr_carry[...] = jnp.zeros_like(hr_carry)
+        hi_carry[...] = jnp.zeros_like(hi_carry)
+
+    ar_t = ar_ref[...].astype(jnp.float32)         # (n, d) Re(A) tile
+    ai_t = ai_ref[...].astype(jnp.float32)         # (n, d) Im(A) tile
+    bias_t = bias_ref[0].astype(jnp.float32)
+    u, _, dt, _, bmat, cmat = _chunk_prep(
+        u_ref, delta_ref, b_ref, c_ref, bias_t, softplus, li, chunk, seqlen)
+    bt, c, d = u.shape
+    dtu = dt * u
+
+    hr = hr_carry[...]                             # (bt, n, d)
+    hi = hi_carry[...]
+    ys = [None] * c
+    for t in range(c):
+        dt_t = _row1(dt, t)[:, None, :]
+        mag = jnp.exp(dt_t * ar_t[None])
+        ang = dt_t * ai_t[None]
+        car = mag * jnp.cos(ang)
+        cai = mag * jnp.sin(ang)
+        bu = _row1(dtu, t)[:, None, :] * _col(bmat, t)
+        hr_new = car * hr - cai * hi + bu
+        hi = cai * hr + car * hi
+        hr = hr_new
+        ys[t] = 2.0 * jnp.sum(hr * _col(cmat, t), axis=1)[:, None]
+    y = jnp.concatenate(ys, axis=1)                # (bt, c, d)
+
+    if has_d:
+        y = y + u * d_ref[0].astype(jnp.float32)[None]
+    if has_z:
+        z = z_ref[...].astype(jnp.float32)
+        y = y * (z * jax.nn.sigmoid(z))
+    out_ref[...] = y.astype(out_ref.dtype)
+    hr_carry[...] = hr
+    hi_carry[...] = hi
+
+    @pl.when(li == nchunks - 1)
+    def _():
+        lastr_ref[...] = hr
+        lasti_ref[...] = hi
+
+
+def _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
+                      softplus, chunk, dtile, interpret):
+    batch, seqlen, dim = u.shape
+    dstate = Ar.shape[1]
+    ngroups = B.shape[2]
+    has_d, has_z = D is not None, z is not None
+    chunk = min(chunk, _round_up(seqlen, 8))
+    bt = _batch_tile(batch, chunk, LONG_BT_ELEMS // 2)  # two state carries
+
+    up, deltap, Bp, Cp, zp, _, bp, lp, dp = _pad_args(
+        u, delta, B, C, z, None, bt, chunk, dtile)
+    nbt, nchunks, ndt = bp // bt, lp // chunk, dp // dtile
+    Art, _, biasp = _pad_params(Ar, None, delta_bias, dim, dp)
+    Ait, Dp, _ = _pad_params(Ai, D, None, dim, dp)
+    if zp is None:
+        zp = jnp.zeros((bp, 1, dp), u.dtype)
+
+    ld_spec, ln_spec, z_spec, a_spec, vec_spec, _ = _specs(
+        bt, chunk, dtile, dstate, nchunks, has_z, reverse=False,
+        ngroups=ngroups, ndt=ndt,
+    )
+    last_spec = pl.BlockSpec((bt, dstate, dtile),
+                             lambda bi, di, li: (bi, 0, di),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _cfwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
+        nchunks=nchunks, chunk=chunk, seqlen=seqlen,
+    )
+    out, lastr, lasti = pl.pallas_call(
+        kernel,
+        grid=(nbt, ndt, nchunks),
+        in_specs=[ld_spec, ld_spec, a_spec, a_spec, ln_spec, ln_spec,
+                  vec_spec, z_spec, vec_spec],
+        out_specs=[ld_spec, last_spec, last_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, lp, dp), u.dtype),
+            jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bt, dstate, dtile), jnp.float32),
+                        pltpu.VMEM((bt, dstate, dtile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
+        interpret=interpret,
+    )(up, deltap, Art, Ait, Bp, Cp, Dp, zp, biasp)
+
+    out = out[:batch, :seqlen, :dim]
+    last = (jnp.swapaxes(lastr, 1, 2) + 1j * jnp.swapaxes(lasti, 1, 2))
+    return out, last[:batch, :dim].astype(jnp.complex64)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _complex_core(u, delta, Ar, Ai, B, C, D, z, delta_bias,
+                  softplus: bool, chunk: int, dtile: int, interpret: bool):
+    return _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
+                             softplus, chunk, dtile, interpret)
+
+
+def _complex_core_fwd(u, delta, Ar, Ai, B, C, D, z, delta_bias,
+                      softplus, chunk, dtile, interpret):
+    outs = _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
+                             softplus, chunk, dtile, interpret)
+    return outs, (u, delta, Ar, Ai, B, C, D, z, delta_bias)
+
+
+def _complex_core_bwd(softplus, chunk, dtile, interpret, res, cot):
+    """Adjoint via the XLA associative-scan path (exact same math; the
+    last-state cotangent is dropped, as in the reference SelectiveScanFn)."""
+    from .selective_scan import selective_scan_assoc
+
+    u, delta, Ar, Ai, B, C, D, z, delta_bias = res
+    g, _glast = cot
+    has = [x is not None for x in (D, z, delta_bias)]
+
+    def f(u, delta, Ar, Ai, B, C, *opt):
+        it = iter(opt)
+        Dv = next(it) if has[0] else None
+        zv = next(it) if has[1] else None
+        bv = next(it) if has[2] else None
+        return selective_scan_assoc(
+            u, delta, Ar + 1j * Ai, B, C, D=Dv, z=zv, delta_bias=bv,
+            delta_softplus=softplus)
+
+    opt = tuple(x for x in (D, z, delta_bias) if x is not None)
+    _, vjp = jax.vjp(f, u, delta, Ar, Ai, B, C, *opt)
+    grads = vjp(g.astype(jnp.float32).astype(u.dtype))
+    it = iter(grads[6:])
+    dD = next(it) if has[0] else None
+    dz = next(it) if has[1] else None
+    dbias = next(it) if has[2] else None
+    return grads[:6] + (dD, dz, dbias)
+
+
+_complex_core.defvjp(_complex_core_fwd, _complex_core_bwd)
+
+
+def _selective_scan_pallas_complex(u, delta, A, B, C, D, z, delta_bias,
+                                   delta_softplus, return_last_state,
+                                   chunk, dtile, interpret, initial_state):
+    if initial_state is not None:
+        raise NotImplementedError(
+            "complex-A Pallas path has no initial_state (use impl='assoc')")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out, last = _complex_core(
+        u, delta, A.real.astype(jnp.float32), A.imag.astype(jnp.float32),
+        B, C, D, z, delta_bias, delta_softplus, chunk, dtile, interpret)
+    if return_last_state:
+        return out, lax.stop_gradient(last)
+    return out
