@@ -1,0 +1,134 @@
+"""Training-step throughput on the chip: CLIP-TimeMamba-B pretraining and
+ViViM-T K400 finetuning, the two raw-video trainer hot loops (BASELINE.md
+training-side evidence; the reference publishes no step timings).
+
+Also re-measures the long-context scaling point (1M-token MambaVim forward)
+on the reworked sequential-chunk kernel.
+
+Usage: python benchmarks/bench_training.py [--skip-long]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def _fetch(out):
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def _time(f, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        _fetch(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    _fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_clip_pretrain(batch=8, frames=16, size=224, ctx=77):
+    """One optimizer step of CLIP(TimeMamba-B, 12-layer text) pretraining."""
+    from video_mamba_suite_tpu.models.clip import CLIP
+    from video_mamba_suite_tpu.tasks.egocentric.train import ClipPretrainer
+
+    model = CLIP(
+        embed_dim=512, vision_tower="timemamba",
+        vision_cfg=dict(img_size=size, patch_size=16, embed_dim=768, depth=12,
+                        num_heads=12, num_frames=frames, ln_pre=True,
+                        scan_blocks=True, remat=True, dtype=jnp.bfloat16,
+                        impl="pallas"),
+        text_cfg=dict(context_length=ctx, vocab_size=49408, width=512,
+                      heads=8, layers=12),
+    )
+    tr = ClipPretrainer(model)
+    videos = jax.random.normal(
+        jax.random.PRNGKey(0), (batch, frames, size, size, 3), jnp.bfloat16)
+    texts = jax.random.randint(jax.random.PRNGKey(1), (batch, ctx), 0, 49408)
+    tr.init(videos[:1], texts[:1])
+
+    def step(v, t):
+        tr.train_step(v, t)
+        return tr.params["params"]["logit_scale"]
+
+    t = _time(step, videos, texts, iters=8)
+    print(f"[train] CLIP TimeMamba-B pretrain step (b{batch}, {frames}f, "
+          f"remat): {t*1e3:.0f} ms → {batch/t:.1f} clips/s/chip", flush=True)
+
+
+def bench_vivim_finetune(batch=8, frames=16, size=224, n_cls=400):
+    """One optimizer step of ViViM-T K400 finetuning (soft-target CE)."""
+    import optax
+
+    from video_mamba_suite_tpu.models.vivim import ViViM
+
+    model = ViViM(img_size=size, patch_size=16, num_frames=frames, depth=24,
+                  embed_dim=192, num_classes=n_cls, scan_blocks=True,
+                  remat=True, impl="pallas")
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (batch, frames, size, size, 3), jnp.bfloat16)
+    y = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, n_cls), n_cls)
+    params = model.init({"params": jax.random.PRNGKey(2)}, x[:1])
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x).astype(jnp.float32)
+            return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * y, -1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax as _o
+        return _o.apply_updates(params, updates), opt_state, loss
+
+    def run(x, y):
+        nonlocal params, opt_state
+        params, opt_state, loss = step(params, opt_state, x, y)
+        return loss
+
+    t = _time(run, x, y, iters=8)
+    print(f"[train] ViViM-T K400 finetune step (b{batch}, {frames}f, remat): "
+          f"{t*1e3:.0f} ms → {batch/t:.1f} clips/s/chip", flush=True)
+
+
+def bench_long_context(l=1_048_576, d=384, n=16):
+    """1M-token bidirectional MambaVim forward (the TimeMamba 5000-frame
+    self-test scaled up, timemamba.py:392-400)."""
+    from video_mamba_suite_tpu.models.mamba import MambaVim
+
+    model = MambaVim(d_model=d, expand=2, impl="pallas", dtype=jnp.bfloat16,
+                     fuse_scan=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, l, d), jnp.bfloat16)
+    params = model.init({"params": jax.random.PRNGKey(1)}, x[:, :256])
+    f = jax.jit(lambda p, x: model.apply(p, x))
+    t = _time(f, params, x, iters=5)
+    print(f"[long] MambaVim d{d} fwd at {l/1e6:.1f}M tokens: {t*1e3:.0f} ms "
+          f"→ {l/t/1e6:.1f} Mtok/s/chip", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-long", action="store_true")
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+    if not args.skip_long:
+        bench_long_context()
+    if not args.skip_train:
+        bench_vivim_finetune()
+        bench_clip_pretrain()
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,10 @@ class ViViM(nn.Module):
     if_devide_out: bool = True
     if_bidirectional: bool = False  # interleaved fwd/bwd layer pairs
     scan_blocks: bool = False       # compile one block, loop depth times
+    remat: bool = False             # rematerialize blocks under scan (grad
+                                    # checkpointing; required to get the
+                                    # 24-deep training step through the
+                                    # remote-compile service)
     impl: str = "auto"
 
     @nn.compact
@@ -162,8 +166,9 @@ class ViViM(nn.Module):
 
         if self.scan_blocks:
             assert not self.if_bidirectional, "scan_blocks: unidirectional only"
+            body = nn.remat(_ViViMScanBody) if self.remat else _ViViMScanBody
             scanned = nn.scan(
-                _ViViMScanBody,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,

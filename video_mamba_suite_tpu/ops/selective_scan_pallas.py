@@ -55,6 +55,13 @@ DEFAULT_DTILE = 256
 # lower because it holds chunk recomputed (bt, n, dtile) states in VMEM.
 LONG_BT_ELEMS = 1024
 LONG_BT_ELEMS_BWD = 128
+# At or below this batch the long path uses the Hillis–Steele in-chunk
+# kernels instead (one batch row per grid step): the sequential walk's
+# per-step work (bt·n·dtile lanes) starves the VPU without batch to tile,
+# while the parallel pass vectorizes over the chunk axis (TAL eval batch-1,
+# single-stream 1M-token forwards).
+HS_BATCH_MAX = 4
+HS_CHUNK = 32  # tuned round-1 default for the parallel in-chunk pass
 
 
 def _batch_tile(batch: int, chunk: int, elems: int) -> int:
@@ -349,7 +356,8 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
     dstate = A.shape[1]
     ngroups = B.shape[2]
     has_d, has_z = D is not None, z is not None
-    bt = _batch_tile(batch, chunk, LONG_BT_ELEMS)
+    use_hs = batch <= HS_BATCH_MAX
+    bt = 1 if use_hs else _batch_tile(batch, chunk, LONG_BT_ELEMS)
 
     up, deltap, Bp, Cp, zp, _, bp, lp, dp = _pad_args(
         u, delta, B, C, z, None, bt, chunk, dtile)
@@ -368,7 +376,8 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
                              memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _fwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
+        _fwd_kernel_hs if use_hs else _fwd_kernel,
+        softplus=softplus, has_d=has_d, has_z=has_z,
         nchunks=nchunks, chunk=chunk, seqlen=seqlen,
     )
     out, states, last = pl.pallas_call(
@@ -382,7 +391,8 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
             jax.ShapeDtypeStruct((bp, nchunks, dstate, dp), jnp.float32),
             jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((bt, dstate, dtile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            (dstate, dtile) if use_hs else (bt, dstate, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
         interpret=interpret,
     )(up, deltap, At, Bp, Cp, Dp, zp, biasp, h0p)
@@ -412,7 +422,8 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
     has_d, has_z = D is not None, z is not None
     # the bwd holds the per-step recomputed states (chunk · bt·n·dtile fp32)
     # in VMEM — cap its batch tile independently of the fwd's
-    bt = _batch_tile(batch, chunk, LONG_BT_ELEMS_BWD)
+    use_hs = batch <= HS_BATCH_MAX
+    bt = 1 if use_hs else _batch_tile(batch, chunk, LONG_BT_ELEMS_BWD)
 
     ngroups = B.shape[2]
     up, deltap, Bp, Cp, zp, gp, bp, lp, dp = _pad_args(
@@ -452,7 +463,8 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
                               memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _bwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
+        _bwd_kernel_hs if use_hs else _bwd_kernel,
+        softplus=softplus, has_d=has_d, has_z=has_z,
         nchunks=nchunks, chunk=chunk, seqlen=seqlen,
     )
     du, ddelta, dA_bt, dB, dC, dD_b, dz, dbias_b, dh0 = pl.pallas_call(
@@ -473,7 +485,9 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
             jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dbias parts
             jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),  # dh0
         ],
-        scratch_shapes=[pltpu.VMEM((bt, dstate, dtile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            (dstate, dtile) if use_hs else (bt, dstate, dtile),
+            jnp.float32)],
         compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
         interpret=interpret,
     )(up, deltap, At, Bp, Cp, Dp, zp, biasp, states, gp, glastp)
@@ -601,6 +615,8 @@ def selective_scan_pallas(
         )
         last = lax.stop_gradient(last)
     else:
+        if u.shape[0] <= HS_BATCH_MAX:
+            chunk = min(chunk, HS_CHUNK)  # parallel in-chunk pass depth
         chunk = min(chunk, seq_padded)
         out, last = _scan_core(
             u, delta, A, B, C, D, z, delta_bias, initial_state,
@@ -1328,3 +1344,232 @@ def _selective_scan_pallas_complex(u, delta, A, B, C, D, z, delta_bias,
     if return_last_state:
         return out, lax.stop_gradient(last)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Small-batch (Hillis-Steele) long path
+#
+# The batch-tiled sequential kernels above need bt*n*dtile lanes of per-step
+# work to fill the VPU; at batch <= HS_BATCH_MAX (TAL eval runs batch 1 at
+# seqlen 2304; the 1M-token single-stream forward) there is not enough
+# batch to tile, so these variants keep the round-1 design: one batch row
+# per grid step, the in-chunk recurrence evaluated by a work-inefficient
+# but fully parallel Hillis-Steele pass over the chunk axis (the
+# cub::BlockScan analogue). Same checkpoints/carry contract as the
+# sequential kernels; the dispatcher in _scan_fwd_impl picks per shape.
+
+def _row(x, i: int):
+    """x[i] for static i via lax.slice (Mosaic has no dynamic_slice)."""
+    c = x.shape[0]
+    i = i % c
+    return jax.lax.squeeze(jax.lax.slice_in_dim(x, i, i + 1, axis=0), (0,))
+
+
+def _combine(lhs, rhs):
+    a1, b1 = lhs
+    a2, b2 = rhs
+    return a1 * a2, a2 * b1 + b2
+
+
+def _take(x, sl, axis):
+    return jax.lax.slice_in_dim(x, sl.start, sl.stop, axis=axis)
+
+
+def _inclusive_scan(a, b, axis: int = 0):
+    """Hillis–Steele inclusive scan of the pair (a, b) over `axis`.
+
+    x_t = a_t · x_{t-1} + b_t; returns (a_cum, h) where a_cum_t = ∏_{s≤t} a_s
+    and h_t is the recurrence value with x_{-1}=0. Uses only static
+    concatenations and elementwise ops so it lowers cleanly through Mosaic
+    (the generic `lax.associative_scan` emits zero-size slices Mosaic
+    rejects). log2(c) passes over the chunk in VMEM.
+    """
+    c = a.shape[axis]
+    shift = 1
+    while shift < c:
+        head_a = jnp.ones_like(_take(a, slice(0, shift), axis))
+        head_b = jnp.zeros_like(head_a)
+        a_prev = jnp.concatenate([head_a, _take(a, slice(0, c - shift), axis)],
+                                 axis=axis)
+        b_prev = jnp.concatenate([head_b, _take(b, slice(0, c - shift), axis)],
+                                 axis=axis)
+        b = a * b_prev + b
+        a = a * a_prev
+        shift *= 2
+    return a, b
+
+
+def _reverse_scan(a, s, axis: int = 0):
+    """Hillis–Steele suffix scan: x_t = a_t · x_{t+1} + s_t (x_c = 0).
+
+    Mirror of `_inclusive_scan` shifted the other way (Mosaic lowers neither
+    `rev` nor odd-size associative_scan slices, so no flip-scan-flip).
+    """
+    c = a.shape[axis]
+    shift = 1
+    while shift < c:
+        tail_a = jnp.ones_like(_take(a, slice(0, shift), axis))
+        tail_s = jnp.zeros_like(tail_a)
+        a_next = jnp.concatenate([_take(a, slice(shift, c), axis), tail_a],
+                                 axis=axis)
+        s_next = jnp.concatenate([_take(s, slice(shift, c), axis), tail_s],
+                                 axis=axis)
+        s = a * s_next + s
+        a = a * a_next
+        shift *= 2
+    return s
+
+
+def _discretize(u_ref, delta_ref, b_ref, a_t, bias_t, softplus: bool,
+                li, chunk: int, seqlen: int):
+    """Shared fwd/bwd prologue: load one chunk, discretize, mask padding.
+
+    Timesteps at or beyond the true seqlen get dt = 0 (⇒ a = 1, bu = 0, an
+    identity scan element), so seq padding never perturbs the carried state.
+    Returns (u, dt_pre, dt, mask, a, bu): u/dt/mask (c, d) fp32,
+    a/bu (c, n, d) fp32.
+    """
+    u = u_ref[0].astype(jnp.float32)             # (c, d)
+    dt_pre = delta_ref[0].astype(jnp.float32) + bias_t  # (c, d)
+    dt = jax.nn.softplus(dt_pre) if softplus else dt_pre
+    pos = li * chunk + jax.lax.broadcasted_iota(jnp.int32, dt.shape, 0)
+    mask = (pos < seqlen).astype(jnp.float32)    # (c, d)
+    dt = dt * mask
+    bmat = b_ref[0, 0].astype(jnp.float32)       # (c, n)
+    a = jnp.exp(dt[:, None, :] * a_t[None])      # (c, n, d)
+    bu = (dt * u)[:, None, :] * bmat[:, :, None]  # (c, n, d)
+    return u, dt_pre, dt, mask, a, bu
+
+
+def _fwd_kernel_hs(
+    u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref, h0_ref,
+    out_ref, states_ref, last_ref,
+    h_carry,
+    *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
+    chunk: int, seqlen: int,
+):
+    li = pl.program_id(2)
+
+    @pl.when(li == 0)
+    def _():
+        # initial state: zeros normally; an incoming prefix when the caller
+        # chains shards (sequence parallelism) or resumes a stream — the
+        # smem_running_prefix seeding of the CUDA kernel (:251-254)
+        h_carry[...] = h0_ref[0]
+
+    a_t = a_ref[...].astype(jnp.float32)         # (n, d) — A tile, transposed
+    bias_t = bias_ref[0].astype(jnp.float32)     # (1, d) broadcasts over c
+    u, _, dt, _, a, bu = _discretize(
+        u_ref, delta_ref, b_ref, a_t, bias_t, softplus, li, chunk, seqlen)
+
+    h0 = h_carry[...]                            # (n, d) carried prefix state
+    states_ref[0, 0] = h0                        # checkpoint for the backward
+
+    a_cum, h_in = _inclusive_scan(a, bu)
+    h = h_in + a_cum * h0[None]                  # (c, n, d) full states
+
+    c_mat = c_ref[0, 0].astype(jnp.float32)      # (c, n)
+    y = jnp.sum(h * c_mat[:, :, None], axis=1)   # (c, d)
+    if has_d:
+        y = y + u * d_ref[0].astype(jnp.float32)
+    if has_z:
+        z = z_ref[0].astype(jnp.float32)
+        y = y * (z * jax.nn.sigmoid(z))
+    out_ref[0] = y.astype(out_ref.dtype)
+
+    h_last = _row(h, -1)
+    h_carry[...] = h_last
+
+    @pl.when(li == nchunks - 1)
+    def _():
+        last_ref[0] = h_last
+
+
+def _bwd_kernel_hs(
+    u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref,
+    states_ref, g_ref, glast_ref,
+    du_ref, ddelta_ref, da_ref, db_ref, dc_ref, dd_ref, dz_ref, dbias_ref,
+    dh0_ref,
+    dh_carry,
+    *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
+    chunk: int, seqlen: int,
+):
+    li = pl.program_id(2)  # index maps reverse it: li=0 is the LAST chunk
+
+    @pl.when(li == 0)
+    def _():
+        # adjoint seeded with the last-state cotangent (exact, unlike the
+        # reference SelectiveScanFn which drops it)
+        dh_carry[...] = glast_ref[0]
+        da_ref[0] = jnp.zeros_like(da_ref[0])
+        dd_ref[0] = jnp.zeros_like(dd_ref[0])
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    a_t = a_ref[...].astype(jnp.float32)
+    bias_t = bias_ref[0].astype(jnp.float32)
+    u, dt_pre, dt, mask, a, bu = _discretize(
+        u_ref, delta_ref, b_ref, a_t, bias_t, softplus,
+        nchunks - 1 - li, chunk, seqlen)
+
+    # Recompute in-chunk forward states from the checkpointed chunk-initial
+    # state (the CUDA bwd does the same from x_ptr, bwd_kernel.cuh:141-146).
+    h0 = states_ref[0, 0]                        # (n, d)
+    a_cum, h_in = _inclusive_scan(a, bu)
+    h = h_in + a_cum * h0[None]                  # (c, n, d)
+    h_prev = jnp.concatenate([h0[None], h[:-1]], axis=0)
+
+    g = g_ref[0].astype(jnp.float32)             # (c, d) dL/dout
+    c_mat = c_ref[0, 0].astype(jnp.float32)      # (c, n)
+
+    if has_z:
+        z = z_ref[0].astype(jnp.float32)
+        sig = jax.nn.sigmoid(z)
+        silu = z * sig
+        y_pre = jnp.sum(h * c_mat[:, :, None], axis=1)
+        if has_d:
+            y_pre = y_pre + u * d_ref[0].astype(jnp.float32)
+        dz = g * y_pre * (sig + silu * (1.0 - sig))
+        dz_ref[0] = dz.astype(dz_ref.dtype)
+        gy = g * silu                            # grad w.r.t. pre-gate y
+    else:
+        gy = g
+
+    # dC[t,n] = Σ_d gy[t,d] · h[t,n,d]  (this tile's partial over d)
+    dc_ref[0, 0] = jnp.sum(gy[:, None, :] * h, axis=2).astype(dc_ref.dtype)
+
+    # Adjoint recurrence dh_t = C_t⊗gy_t + a_{t+1}⊙dh_{t+1}: a reverse
+    # (suffix) scan with pair (a_{t+1}, s_t). The cross-chunk term a_first·dh
+    # of chunk t+1 arrives via dh_carry and is absorbed into the last source.
+    s = c_mat[:, :, None] * gy[:, None, :]       # (c, n, d)
+    dh_next = dh_carry[...]                      # already includes a_first
+    s = jnp.concatenate([s[:-1], (_row(s, -1) + dh_next)[None]], axis=0)
+    a_shift = jnp.concatenate([a[1:], jnp.ones_like(a[:1])], axis=0)
+    dh = _reverse_scan(a_shift, s)               # (c, n, d)
+    dh_carry[...] = _row(a, 0) * _row(dh, 0)     # carry to previous chunk
+
+    @pl.when(li == nchunks - 1)
+    def _():
+        # after chunk 0 the carry IS ∂L/∂h0 (the incoming-prefix cotangent)
+        dh0_ref[0] = dh_carry[...]
+
+    da_el = dh * h_prev                          # ∂L/∂a_t (c, n, d)
+    da_ref[0] += jnp.sum(da_el * a * dt[:, None, :], axis=0)  # → dA (n, d)
+
+    # dB[t,n] = Σ_d dh[t,n,d] · dt·u
+    db_ref[0, 0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2).astype(db_ref.dtype)
+
+    bmat = b_ref[0, 0].astype(jnp.float32)       # (c, n)
+    dh_b = jnp.sum(dh * bmat[:, :, None], axis=1)  # Σ_n dh·B (c, d)
+    du = dh_b * dt
+    if has_d:
+        dval = d_ref[0].astype(jnp.float32)
+        du = du + gy * dval
+        dd_ref[0] += jnp.sum(gy * u, axis=0, keepdims=True)
+    du_ref[0] = du.astype(du_ref.dtype)
+
+    ddt = jnp.sum(da_el * a * a_t[None], axis=1) + dh_b * u
+    if softplus:
+        ddt = ddt * jax.nn.sigmoid(dt_pre)
+    ddt = ddt * mask  # padded steps contribute nothing to dbias
+    ddelta_ref[0] = ddt.astype(ddelta_ref.dtype)
+    dbias_ref[0] += jnp.sum(ddt, axis=0, keepdims=True)
