@@ -182,7 +182,11 @@ class TimeMamba(nn.Module):
         cls_tokens = feat[:B, :1]
         patches = feat[:, 1:].reshape(B, T, n, D).transpose(0, 2, 1, 3)
         if self.ln_pre:
-            ln_pre = nn.LayerNorm(name="ln_pre")
+            # dtype matters: without it LayerNorm returns fp32 and the WHOLE
+            # residual stream (the nn.scan carry) runs in fp32 — profiled at
+            # ~20 ms/fwd of fp32 norm fusions + copies at TimeMamba-B scale
+            # (the reference's autocast casts LN outputs back to bf16)
+            ln_pre = nn.LayerNorm(dtype=self.dtype, name="ln_pre")
             cls_tokens, patches = ln_pre(cls_tokens), ln_pre(patches)
         drop = nn.Dropout(self.drop_rate)
         cls_tokens = drop(cls_tokens, deterministic=deterministic)
