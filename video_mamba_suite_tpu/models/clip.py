@@ -53,9 +53,13 @@ class TextTransformer(nn.Module):
     causal_mask: bool = True
 
     @nn.compact
-    def __call__(self, text, deterministic: bool = True):
+    def __call__(self, text, deterministic: bool = True,
+                 return_tokens: bool = False):
         """text (B, L) int32 token ids → (B, output_dim). Pooled at the
-        argmax (eot) token as CLIP does."""
+        argmax (eot) token as CLIP does; with return_tokens=True the
+        per-token ln_final hidden states (B, L, width) come back instead —
+        the `last_hidden_state` the reference's VTG demo extractor uses for
+        query features (run_on_video/data_utils.py:43-48)."""
         x = nn.Embed(
             self.vocab_size, self.width,
             embedding_init=nn.initializers.normal(0.02), name="token_embedding",
@@ -71,6 +75,8 @@ class TextTransformer(nn.Module):
                 name=f"resblock{i}",
             )(x, deterministic=deterministic)
         x = nn.LayerNorm(name="ln_final")(x)
+        if return_tokens:
+            return x
         eot = jnp.argmax(text, axis=-1)
         x = x[jnp.arange(x.shape[0]), eot]
         if self.output_dim is not None:
@@ -80,6 +86,52 @@ class TextTransformer(nn.Module):
             )
             x = x @ proj.astype(x.dtype)
         return x
+
+
+class ClipImageTower(nn.Module):
+    """Standard CLIP ViT IMAGE encoder (per-frame, no temporal mixing) — the
+    frozen feature extractor the reference's VTG demo pipeline uses
+    (video-temporal-grounding/run_on_video/clip_feature_extractor.py:17-23,
+    ViT-B/32). Reuses the text tower's ResidualAttentionBlock (causal=False).
+    """
+
+    img_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: Optional[int] = 512
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x (B, H, W, 3) → (B, output_dim)."""
+        B = x.shape[0]
+        p = self.patch_size
+        feat = nn.Conv(self.width, (p, p), strides=(p, p), padding="VALID",
+                       use_bias=False, name="conv1")(x)
+        feat = feat.reshape(B, -1, self.width)
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(self.width ** -0.5),
+                         (self.width,))
+        feat = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, self.width)).astype(feat.dtype),
+             feat], axis=1)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(self.width ** -0.5),
+                         (feat.shape[1], self.width))
+        feat = feat + pos.astype(feat.dtype)
+        feat = nn.LayerNorm(name="ln_pre")(feat)
+        for i in range(self.layers):
+            feat = ResidualAttentionBlock(
+                self.width, self.heads, causal=False, name=f"resblock{i}",
+            )(feat, deterministic=deterministic)
+        feat = nn.LayerNorm(name="ln_post")(feat[:, 0])
+        if self.output_dim is not None:
+            proj = self.param("proj",
+                              nn.initializers.normal(self.width ** -0.5),
+                              (self.width, self.output_dim))
+            feat = feat @ proj.astype(feat.dtype)
+        return feat
 
 
 class CLIP(nn.Module):

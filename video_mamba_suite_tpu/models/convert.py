@@ -282,6 +282,36 @@ def convert_text_transformer(sd: Dict[str, Any], layers: int, num_heads: int,
     return params
 
 
+def convert_clip_image_tower(sd: Dict[str, Any], layers: int, num_heads: int,
+                             prefix: str = "visual.") -> Dict[str, Any]:
+    """Published CLIP ViT image encoder (open_clip/`clip` layout — the
+    frozen extractor of the reference VTG demo,
+    run_on_video/clip_feature_extractor.py ViT-B/32) → ClipImageTower."""
+
+    def g(name):
+        return _t(sd[prefix + name])
+
+    params: Dict[str, Any] = {
+        # torch conv (out, in, kh, kw) → flax (kh, kw, in, out)
+        "conv1": {"kernel": g("conv1.weight").transpose(2, 3, 1, 0)},
+        "class_embedding": g("class_embedding"),
+        "positional_embedding": g("positional_embedding"),
+        "ln_pre": convert_layernorm(sd, prefix + "ln_pre."),
+        "ln_post": convert_layernorm(sd, prefix + "ln_post."),
+    }
+    if prefix + "proj" in sd:
+        params["proj"] = g("proj")
+    for i in range(layers):
+        bp = f"{prefix}transformer.resblocks.{i}."
+        params[f"resblock{i}"] = {
+            "ln_1": convert_layernorm(sd, bp + "ln_1."),
+            "ln_2": convert_layernorm(sd, bp + "ln_2."),
+            "attn": convert_attention(sd, bp + "attn.", num_heads),
+            "mlp": convert_mlp(sd, bp + "mlp.", fc1="c_fc", fc2="c_proj"),
+        }
+    return params
+
+
 def convert_clip(sd: Dict[str, Any], vision: str, vision_depth: int,
                  text_layers: int, text_heads: int,
                  vision_heads: int = 12) -> Dict[str, Any]:
