@@ -91,6 +91,46 @@ def test_pallas_fwd_bwd_vs_ref(itype, seqlen, chunk, has_z, has_d):
         )
 
 
+@pytest.mark.parametrize("batch,seqlen,chunk", [(6, 130, 32), (34, 70, 64)])
+def test_pallas_long_batch_tiled_fwd_bwd(batch, seqlen, chunk):
+    """Batch > HS_BATCH_MAX exercises the batch-tiled sequential
+    _fwd_kernel/_bwd_kernel (the production training path). batch=34 is the
+    regression case where the fwd's batch padding (cap 16 rows/tile at
+    chunk 64 ⇒ bp=36) exceeds the bwd's (cap 2 ⇒ bp=34) and the checkpoint
+    re-pad used to raise ValueError: negative pad."""
+    rng = jax.random.PRNGKey(batch)
+    u, delta, A, B, C, D, z, bias, g = _inputs(
+        rng, b=batch, l=seqlen, d=8, n=4, itype=jnp.float32,
+        has_d=True, has_z=True, has_bias=True,
+    )
+    out_ref = selective_scan_ref(
+        u, delta, A, B, C, D=D, z=z, delta_bias=bias, delta_softplus=True)
+    out_p = selective_scan_pallas(
+        u, delta, A, B, C, D=D, z=z, delta_bias=bias, delta_softplus=True,
+        chunk=chunk, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_ref), rtol=6e-4, atol=2e-3)
+
+    def mkloss(fn):
+        def f(u, delta, A, B, C, D, z, bias):
+            out = fn(u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+                     delta_softplus=True)
+            return jnp.sum(out * g)
+        return f
+
+    gr = jax.grad(mkloss(selective_scan_ref), argnums=tuple(range(8)))(
+        u, delta, A, B, C, D, z, bias)
+    gp = jax.grad(
+        mkloss(lambda *a, **k: selective_scan_pallas(
+            *a, chunk=chunk, interpret=True, **k)),
+        argnums=tuple(range(8)))(u, delta, A, B, C, D, z, bias)
+    for a_, r_ in zip(gp, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(r_))))
+        np.testing.assert_allclose(
+            np.asarray(a_, np.float32) / scale,
+            np.asarray(r_, np.float32) / scale, rtol=2e-3, atol=3e-3)
+
+
 def test_pallas_no_optional_args():
     """Minimal signature: no D, no z, no delta_bias, no softplus."""
     rng = jax.random.PRNGKey(0)

@@ -187,7 +187,9 @@ class FusedMHA(nn.Module):
 
     Replaces flax's MultiHeadDotProductAttention on the hot vision paths:
     one (D, 3D) MXU matmul + one HBM read of x instead of three separate
-    DenseGenerals, softmax accumulated in fp32. The packed qkv kernel is
+    DenseGenerals; scores/softmax run in the compute dtype (bf16 under the
+    bf16 policy), with fp32 accumulation only inside the MXU matmuls —
+    matching the flax module it replaced. The packed qkv kernel is
     also the reference checkpoints' native layout (torch in_proj_weight,
     models/convert.py:convert_attention).
     """

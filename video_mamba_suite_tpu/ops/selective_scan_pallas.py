@@ -435,8 +435,13 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
     if zp is None:
         zp = jnp.zeros((bp, 1, dp), u.dtype)
 
-    # states were checkpointed with the FWD's batch tile; re-pad if needed
-    if states.shape[0] != bp:
+    # states were checkpointed with the FWD's batch tile, whose padding can
+    # be larger OR smaller than the bwd's (fwd cap 16 rows vs bwd cap 2 at
+    # chunk 64): slice surplus padding rows, pad missing ones. Padding rows
+    # hold garbage-free zero-init states for out-of-batch rows either way.
+    if states.shape[0] > bp:
+        states = states[:bp]
+    elif states.shape[0] < bp:
         states = jnp.pad(states, ((0, bp - states.shape[0]),) +
                          ((0, 0),) * (states.ndim - 1))
 

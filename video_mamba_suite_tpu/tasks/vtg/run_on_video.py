@@ -90,6 +90,23 @@ class VtgFeatureExtractor:
         return out
 
 
+_VTG_APPLY_CACHE: Dict[int, Any] = {}
+
+
+def _vtg_apply_fn(vtg_model):
+    """Jitted model.apply cached per model instance: a fresh jit(lambda) on
+    every ground_video call misses the jit cache and recompiles each time
+    (minutes under the tunneled remote-compile service)."""
+    key = id(vtg_model)
+    fn = _VTG_APPLY_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p, b: vtg_model.apply(
+            p, b["src_txt"], b["src_txt_mask"],
+            b["src_vid"], b["src_vid_mask"]))
+        _VTG_APPLY_CACHE[key] = fn
+    return fn
+
+
 def ground_video(
     extractor: VtgFeatureExtractor,
     vtg_model,
@@ -120,9 +137,7 @@ def ground_video(
         clip_len=clip_len,
     )
     batch = collate_vtg([sample], max_q_l, max_v_l)
-    out = jax.jit(lambda p, b: vtg_model.apply(
-        p, b["src_txt"], b["src_txt_mask"], b["src_vid"], b["src_vid_mask"],
-    ))(vtg_params, batch)
+    out = _vtg_apply_fn(vtg_model)(vtg_params, batch)
     spans = np.asarray(batch["timestamp"] + np.asarray(out["pred_spans"]))[0]
     prob = np.asarray(out["pred_logits"][..., 0])[0]
     lv = min(T, max_v_l)
