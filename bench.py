@@ -72,22 +72,22 @@ def bench_timemamba(impl: str, batch: int = 8, frames: int = 16,
 def bench_scan():
     from video_mamba_suite_tpu.ops.selective_scan import selective_scan_assoc
     from video_mamba_suite_tpu.ops.selective_scan_pallas import (
-        DEFAULT_CHUNK,
         selective_scan_pallas,
     )
 
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
     b, l, d, n = 8, 2048, 1024, 16
+    bf = jnp.bfloat16  # the dtype the models actually feed the kernel
     args = (
-        jax.random.normal(ks[0], (b, l, d)),
-        0.5 * jax.random.uniform(ks[1], (b, l, d)),
+        jax.random.normal(ks[0], (b, l, d), bf),
+        0.5 * jax.random.uniform(ks[1], (b, l, d), bf),
         -0.5 * jax.random.uniform(ks[2], (d, n)),
-        jax.random.normal(ks[3], (b, l, n)),
-        jax.random.normal(ks[4], (b, l, n)),
+        jax.random.normal(ks[3], (b, l, n), bf),
+        jax.random.normal(ks[4], (b, l, n), bf),
     )
     kw = dict(
         D=jax.random.normal(ks[5], (d,)),
-        z=jax.random.normal(ks[6], (b, l, d)),
+        z=jax.random.normal(ks[6], (b, l, d), bf),
         delta_bias=0.5 * jax.random.uniform(ks[7], (d,)),
         delta_softplus=True,
     )
@@ -97,13 +97,12 @@ def bench_scan():
                    iters=100, warmup=3)
     t_a = _time_fn(jax.jit(lambda *a: selective_scan_assoc(*a, **kw)), *args,
                    iters=20, warmup=3)
-    # HBM roofline: fp32 u/dt/z in + out (4·b·l·d·4B), B/C (2·b·l·n·4B),
-    # chunk-state checkpoints (b·(l/chunk)·n·d·4B), v5e ≈ 819 GB/s
-    bytes_moved = (4 * b * l * d + 2 * b * l * n
-                   + b * (l // DEFAULT_CHUNK) * n * d) * 4
+    # HBM roofline: bf16 u/dt/z in + out (4·b·l·d·2B), B/C (2·b·l·n·2B);
+    # the inference fwd writes no chunk-state checkpoints. v5e ≈ 819 GB/s.
+    bytes_moved = (4 * b * l * d + 2 * b * l * n) * 2
     t_roof = bytes_moved / 819e9
     print(
-        f"[bench] selective_scan pallas (b{b} l{l} d{d} n{n}): "
+        f"[bench] selective_scan pallas (b{b} l{l} d{d} n{n} bf16): "
         f"{b * l / t_p / 1e6:.2f} Mtok/s ({t_a / t_p:.2f}x vs assoc, "
         f"{100 * t_roof / t_p:.0f}% of HBM roofline)",
         file=sys.stderr,

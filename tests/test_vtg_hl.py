@@ -1,0 +1,83 @@
+"""VTG highlight-detection path (reference: main/train_hl.py + config_hl.py
++ DatasetHL / TVSum mAP@5 protocol, main/dataset.py:722-930)."""
+
+import numpy as np
+import pytest
+
+from video_mamba_suite_tpu.tasks.vtg.hl import (
+    HlTrainer,
+    TVSUM_SPLITS,
+    collate_hl,
+    tvsum_map_at_k,
+)
+
+
+def test_tvsum_splits_shape():
+    assert len(TVSUM_SPLITS) == 10
+    for dom, sp in TVSUM_SPLITS.items():
+        assert len(sp["train"]) == 4 and len(sp["val"]) == 1
+
+
+def test_tvsum_map_perfect_and_inverted():
+    # 1 annotator; video with clear top clips
+    anno = np.array([[0], [1], [5], [4], [0], [0], [3], [0]], np.float32)
+    # median = 0.0 → binarized positives where > 0: idx 1, 2, 3, 6
+    perfect = anno[:, 0].astype(np.float64)  # score == label ranking
+    assert tvsum_map_at_k([perfect], [anno], k=5) == pytest.approx(1.0)
+    inverted = -perfect
+    assert tvsum_map_at_k([inverted], [anno], k=5) < 0.7
+
+
+def test_tvsum_map_hand_computed():
+    # top-5 by score: labels [1, 0, 1, 0, 0]; num_gt = 2
+    # hits@1 = 1: rec 0.5, prc 1.0 → ap += (0.5-0)·(1+1)/2 = 0.5
+    # hits@3 = 2: rec 1.0, prc 2/3 → ap += (1-0.5)·(1/2 + 2/3)... trapezoid
+    anno = np.array([[1], [0], [1], [0], [0], [0]], np.float32) * 2
+    score = np.array([6, 5, 4, 3, 2, 1], np.float64)
+    got = tvsum_map_at_k([score], [anno], k=5)
+    prc_at_3 = 2 / 3
+    expected = 0.5 * (1.0 + 1.0) / 2 + 0.5 * (0.5 + prc_at_3) / 2
+    assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_collate_hl_padding():
+    s = [dict(vid_feat=np.ones((5, 4), np.float32),
+              saliency=np.array([0, 1, 1, 0, 0], np.float32)),
+         dict(vid_feat=np.ones((3, 4), np.float32),
+              saliency=np.array([1, 0, 0], np.float32))]
+    b = collate_hl(s, max_v_l=8, txt_dim=6)
+    assert b["src_vid"].shape == (2, 8, 4)
+    assert b["vid_mask"][0].sum() == 5 and b["vid_mask"][1].sum() == 3
+    assert (b["saliency_scores"][0][5:] == -1).all()
+    assert b["src_txt"].shape == (2, 1, 6)
+    # positive index must point at a positive-saliency clip
+    assert b["saliency_scores"][0][b["saliency_pos_labels"][0]] > 0
+
+
+@pytest.mark.slow
+def test_hl_trainer_learns_synthetic():
+    rng = np.random.default_rng(0)
+    T, Dv = 32, 8
+
+    def synth(seed):
+        r = np.random.default_rng(seed)
+        feat = 0.1 * r.standard_normal((T, Dv)).astype(np.float32)
+        sal = np.zeros(T, np.float32)
+        feat[10:18] += 1.5
+        sal[10:18] = 1.0
+        anno = np.tile(sal[:, None], (1, 3)) * 4
+        return dict(vid_feat=feat, saliency=sal, anno=anno)
+
+    train = [synth(i) for i in range(6)]
+    val = [synth(50), synth(51)]
+    tr = HlTrainer(txt_dim=4, vid_dim=Dv, embed_dim=32, depth=2,
+                   lr=3e-4, max_v_l=T, impl="ref")
+    first = None
+    for _ in range(30):
+        stats = tr.train_epoch(train, batch_size=3)
+        first = first if first is not None else stats["loss_total"]
+    assert stats["loss_total"] < first
+    m5 = tvsum_map_at_k(tr.predict_scores(val),
+                        [v["anno"] for v in val], k=5)
+    assert m5 > 0.6  # planted segment found
+    del rng

@@ -202,6 +202,8 @@ def run_vtg(cfg, epochs, synthetic, ckpt=None):
     from .tasks.vtg import VtgTrainer, make_synthetic_vtg
     from .tasks.vtg.data import load_file_dataset
 
+    if _ds(cfg).get("highlight"):
+        return run_vtg_hl(cfg, epochs, synthetic, ckpt)
     if not synthetic and _has(cfg, "train_jsonl", "v_feat_dirs", "q_feat_dir"):
         d, m = _ds(cfg), cfg.get("model", {})
         samples = load_file_dataset(
@@ -238,6 +240,69 @@ def run_vtg(cfg, epochs, synthetic, ckpt=None):
         stats = tr.train_epoch(samples, batch_size=4)
         print(f"epoch {ep}: {stats}")
     print("eval:", tr.evaluate(samples))
+
+
+def run_vtg_hl(cfg, epochs, synthetic, ckpt=None):
+    """Highlight-detection leg (train_hl.py): saliency-only training on one
+    TVSum/YouTube-HL domain; eval = TVSum top-5 mAP over annotators.
+
+    Real data: dataset.label_pkl → {vid: {feat: (T, D), anno: (T, n_ann)}}
+    (a numpy .npz/.npy dict per video id), split by TVSUM_SPLITS[domain].
+    Synthetic: random features with planted high-saliency segments.
+    """
+    import numpy as np
+
+    from .tasks.vtg.hl import HlTrainer, TVSUM_SPLITS, tvsum_map_at_k
+
+    d, m = _ds(cfg), cfg.get("model", {})
+    rng = np.random.default_rng(0)
+    if not synthetic and _has(cfg, "label_dir"):
+        import os
+
+        domain = d.get("domain", "BK")
+        split = TVSUM_SPLITS[domain]
+
+        def load(vid):
+            z = np.load(os.path.join(d["label_dir"], vid + ".npz"))
+            anno = z["anno"].astype(np.float32)       # (T, n_ann)
+            agg = anno.sum(1)
+            return dict(vid_feat=z["feat"].astype(np.float32),
+                        saliency=(agg > np.median(agg)).astype(np.float32),
+                        anno=anno)
+        train = [load(v) for v in split["train"]]
+        val = [load(v) for v in split["val"]]
+    else:
+        T, Dv, n_ann = 64, 16, 20
+        def synth(seed):
+            r = np.random.default_rng(seed)
+            feat = 0.1 * r.standard_normal((T, Dv)).astype(np.float32)
+            anno = r.integers(0, 3, (T, n_ann)).astype(np.float32)
+            s, e = 20, 36
+            feat[s:e] += 1.0
+            anno[s:e] += 3.0
+            agg = anno.sum(1)
+            return dict(vid_feat=feat, anno=anno,
+                        saliency=(agg > np.median(agg)).astype(np.float32))
+        train = [synth(i) for i in range(8)]
+        val = [synth(100 + i) for i in range(2)]
+
+    tr = HlTrainer(
+        txt_dim=d.get("t_feat_dim", 512) if not synthetic else 8,
+        vid_dim=train[0]["vid_feat"].shape[-1],
+        embed_dim=m.get("embed_dim", 64 if synthetic else 256),
+        depth=m.get("depth", 2 if synthetic else 4),
+        mamba_type=m.get("mamba_type", "vim"),
+        lr=_opt(cfg, "learning_rate", 1e-4),
+        max_v_l=m.get("max_v_l", 128),
+    )
+    bs = cfg.get("loader", {}).get("batch_size", 4)
+    for ep in range(epochs):
+        stats = tr.train_epoch(train, batch_size=bs)
+        print(f"epoch {ep}: {stats}", flush=True)
+    scores = tr.predict_scores(val)
+    m5 = tvsum_map_at_k(scores, [s["anno"] for s in val], k=5)
+    print(f"eval: tvsum mAP@5 = {100 * m5:.2f}")
+    del rng
 
 
 def run_captioning(cfg, epochs, synthetic, ckpt=None):
@@ -294,7 +359,22 @@ def run_captioning(cfg, epochs, synthetic, ckpt=None):
             for b, it in enumerate(batch):
                 preds[it["video_id"]] = events[b]
                 gts[it["video_id"]] = it["gt_events"]
+        from .tasks.captioning import evaluate_para, rerank_predictions
+
+        if d.get("rerank", False):  # eval_utils.py:125 (count_loss_coef > 0)
+            preds = rerank_predictions(preds, alpha=d.get("alpha", 0.3))
         print("eval:", evaluate_dvc(preds, gts))
+        # paragraph-captioning leg: GT paragraphs = event sentences joined
+        # (or a dedicated para json via dataset.para_annotation_json)
+        if d.get("para_annotation_json"):
+            import json as _json
+
+            with open(d["para_annotation_json"]) as f:
+                para_gt = _json.load(f)
+        else:
+            para_gt = {v: ". ".join(e["sentence"] for e in g)
+                       for v, g in gts.items()}
+        print("para eval:", evaluate_para(preds, para_gt))
         return
 
     rng = np.random.default_rng(0)

@@ -166,6 +166,36 @@ PRESETS: Dict[str, Dict[str, Any]] = {
                  grad_clip=0.1),
         loader=dict(batch_size=32),
     ),
+    # --- VTG dataset variants: TACoS + Ego4D-NLQ moment retrieval
+    # (reference README tables; config.py dims — SlowFast+CLIP video feats)
+    "vtg_tacos": dict(
+        model=dict(embed_dim=1024, depth=6, mamba_type="dbm",
+                   input_dropout=0.5, max_q_l=32, max_v_l=128, clip_len=2.0),
+        dataset=dict(v_feat_dim=2816, t_feat_dim=512),
+        opt=dict(learning_rate=1e-4, weight_decay=1e-4, epochs=100,
+                 grad_clip=0.1),
+        loader=dict(batch_size=32),
+    ),
+    "vtg_ego4d": dict(
+        model=dict(embed_dim=1024, depth=6, mamba_type="dbm",
+                   input_dropout=0.5, max_q_l=32, max_v_l=255, clip_len=2.0),
+        dataset=dict(v_feat_dim=2304, t_feat_dim=512),  # EgoVLP/InternVideo
+        opt=dict(learning_rate=1e-4, weight_decay=1e-4, epochs=100,
+                 grad_clip=0.1),
+        loader=dict(batch_size=32),
+    ),
+    # --- VTG highlight detection: TVSum (train_hl.py + config_hl.py;
+    # saliency-only objective, per-domain splits, top-5 mAP protocol)
+    "vtg_tvsum": dict(
+        model=dict(embed_dim=1024, depth=6, mamba_type="dbm",
+                   max_v_l=512, clip_len=2.0),
+        dataset=dict(v_feat_dim=2816, t_feat_dim=512, domain="BK",
+                     highlight=True),
+        opt=dict(learning_rate=1e-4, weight_decay=1e-4, epochs=100,
+                 grad_clip=0.1),
+        loader=dict(batch_size=4),
+        loss=dict(loss_f=4.0, loss_s_intra=0.1, eos_coef=0.1),
+    ),
     # --- DVC dataset variant
     "dvc_yc2_tsn": dict(
         model=dict(d_model=512, num_queries=100, n_levels=4,

@@ -123,16 +123,22 @@ class _BlockScanBody(nn.Module):
     impl: str
     deterministic: bool
     dtype: Any = None
+    group: int = 1   # blocks per scan step (HLO is O(group); larger groups
+                     # amortize the while-loop carry copies — profiled at
+                     # ~4.5 ms/block of pure copy/add overhead at group=1)
 
     @nn.compact
     def __call__(self, carry, _):
         cls, patches = carry
-        cls, patches = SpaceTimeBlock(
-            dim=self.dim, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-            drop=self.drop, drop_path=self.drop_path,
-            is_tanh_gating=self.is_tanh_gating, impl=self.impl,
-            dtype=self.dtype, name="block",
-        )(cls, patches, deterministic=self.deterministic)
+        for gi in range(self.group):
+            cls, patches = SpaceTimeBlock(
+                dim=self.dim, num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                drop=self.drop, drop_path=self.drop_path,
+                is_tanh_gating=self.is_tanh_gating, impl=self.impl,
+                dtype=self.dtype, name=f"block{gi}" if self.group > 1
+                else "block",
+            )(cls, patches, deterministic=self.deterministic)
         return (cls, patches), None
 
 
@@ -152,6 +158,7 @@ class TimeMamba(nn.Module):
     is_tanh_gating: bool = False
     output_dim: Optional[int] = 512
     scan_blocks: bool = False       # compile one block, loop `depth` times
+    scan_group: int = 1             # blocks per scan step (must divide depth)
     remat: bool = False             # rematerialize blocks under scan (the
                                     # grad-checkpointing option, timemamba.py:366)
     dtype: Any = None               # compute dtype (e.g. jnp.bfloat16)
@@ -193,17 +200,18 @@ class TimeMamba(nn.Module):
         patches = drop(patches, deterministic=deterministic)
 
         if self.scan_blocks:
+            assert self.depth % self.scan_group == 0, "scan_group ∤ depth"
             body = nn.remat(_BlockScanBody) if self.remat else _BlockScanBody
             scanned = nn.scan(
                 body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                length=self.depth,
+                length=self.depth // self.scan_group,
             )(
                 dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 drop=self.drop_rate, drop_path=self.drop_path_rate,
                 is_tanh_gating=self.is_tanh_gating, impl=self.impl,
-                deterministic=deterministic,
+                deterministic=deterministic, group=self.scan_group,
                 dtype=self.dtype, name="blocks",
             )
             (cls_tokens, patches), _ = scanned((cls_tokens, patches), None)

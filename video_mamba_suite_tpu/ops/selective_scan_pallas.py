@@ -101,10 +101,9 @@ def _chunk_prep(u_ref, delta_ref, b_ref, c_ref, bias_t, softplus: bool,
 
 def _fwd_kernel(
     u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref, h0_ref,
-    out_ref, states_ref, last_ref,
-    h_carry,
-    *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
-    chunk: int, seqlen: int,
+    out_ref, *rest,
+    softplus: bool, has_d: bool, has_z: bool, nchunks: int,
+    chunk: int, seqlen: int, want_states: bool = True,
 ):
     """Sequential in-chunk walk over (bt, n, d) state tiles.
 
@@ -119,6 +118,10 @@ def _fwd_kernel(
     Measured ~2.6x the Hillis–Steele in-chunk variant it replaced
     (b8 l2048 d1024 n16 on v5e).
     """
+    if want_states:
+        states_ref, last_ref, h_carry = rest
+    else:
+        (last_ref, h_carry), states_ref = rest, None
     li = pl.program_id(2)
 
     @pl.when(li == 0)
@@ -135,7 +138,8 @@ def _fwd_kernel(
     dtu = dt * u
 
     h = h_carry[...]                               # (bt, n, d) carried prefix
-    states_ref[...] = h[:, None]                   # checkpoint for the bwd
+    if want_states:
+        states_ref[...] = h[:, None]               # checkpoint for the bwd
 
     ys = [None] * c
     for t in range(c):
@@ -343,15 +347,20 @@ def _pad_h0(h0, bp, dim, dstate, dp, u_dtype):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def _scan_core(u, delta, A, B, C, D, z, delta_bias, h0,
                softplus: bool, chunk: int, dtile: int, interpret: bool):
+    # primal path (inference / no grad trace): skip the chunk-state
+    # checkpoint writes — they exist solely for the backward and cost
+    # b·(l/chunk)·n·d fp32 of pure HBM write bandwidth (the CUDA fwd always
+    # writes x_ptr, selective_scan.cpp:249; here the VJP fwd rule re-runs
+    # with want_states=True instead)
     out, _, last = _scan_fwd_impl(
         u, delta, A, B, C, D, z, delta_bias, h0,
-        softplus, chunk, dtile, interpret
+        softplus, chunk, dtile, interpret, want_states=False,
     )
     return out, last
 
 
 def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
-                   softplus, chunk, dtile, interpret):
+                   softplus, chunk, dtile, interpret, want_states=True):
     batch, seqlen, dim = u.shape
     dstate = A.shape[1]
     ngroups = B.shape[2]
@@ -379,23 +388,31 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
         _fwd_kernel_hs if use_hs else _fwd_kernel,
         softplus=softplus, has_d=has_d, has_z=has_z,
         nchunks=nchunks, chunk=chunk, seqlen=seqlen,
+        want_states=want_states,
     )
-    out, states, last = pl.pallas_call(
+    out_specs = [ld_spec] + ([states_spec] if want_states else []) + [last_spec]
+    out_shape = (
+        [jax.ShapeDtypeStruct((bp, lp, dp), u.dtype)]
+        + ([jax.ShapeDtypeStruct((bp, nchunks, dstate, dp), jnp.float32)]
+           if want_states else [])
+        + [jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32)]
+    )
+    outs = pl.pallas_call(
         kernel,
         grid=(nbt, ndt, nchunks),
         in_specs=[ld_spec, ld_spec, a_spec, ln_spec, ln_spec, vec_spec, z_spec,
                   vec_spec, last_spec],
-        out_specs=[ld_spec, states_spec, last_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, lp, dp), u.dtype),
-            jax.ShapeDtypeStruct((bp, nchunks, dstate, dp), jnp.float32),
-            jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM(
             (dstate, dtile) if use_hs else (bt, dstate, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
         interpret=interpret,
     )(up, deltap, At, Bp, Cp, Dp, zp, biasp, h0p)
+    out, states, last = (
+        (outs[0], outs[1], outs[2]) if want_states
+        else (outs[0], None, outs[1])
+    )
 
     out = out[:batch, :seqlen, :dim]
     last_state = jnp.swapaxes(last, 1, 2)[:batch, :dim]  # (batch, dim, dstate)
@@ -426,8 +443,10 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
     bt = 1 if use_hs else _batch_tile(batch, chunk, LONG_BT_ELEMS_BWD)
 
     ngroups = B.shape[2]
+    # g stays in its native dtype (the kernel upcasts in-VMEM): casting to
+    # fp32 here doubled the cotangent's HBM read bytes under bf16 training
     up, deltap, Bp, Cp, zp, gp, bp, lp, dp = _pad_args(
-        u, delta, B, C, z, g.astype(jnp.float32), bt, chunk, dtile
+        u, delta, B, C, z, g, bt, chunk, dtile
     )
     nbt, nchunks, ndt = bp // bt, lp // chunk, dp // dtile
     At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
@@ -480,13 +499,17 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
         out_specs=[ld_spec, ld_spec, acc_nd, bc_spec, bc_spec, acc_vec,
                    ld_spec, acc_vec, glast_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, lp, dp), jnp.float32),      # du
-            jax.ShapeDtypeStruct((bp, lp, dp), jnp.float32),      # ddelta
+            # du/ddelta/dz in the INPUT dtypes: they were downcast on exit
+            # anyway (same final precision, half the HBM write bytes under
+            # bf16); per-tile reductions stay fp32 for the cross-tile sums
+            jax.ShapeDtypeStruct((bp, lp, dp), u.dtype),           # du
+            jax.ShapeDtypeStruct((bp, lp, dp), delta.dtype),       # ddelta
             jax.ShapeDtypeStruct((nbt, dstate, dp), jnp.float32),  # dA parts
             jax.ShapeDtypeStruct((ndt, bp, lp, dstate), jnp.float32),  # dB per-tile
             jax.ShapeDtypeStruct((ndt, bp, lp, dstate), jnp.float32),  # dC per-tile
             jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dD parts
-            jax.ShapeDtypeStruct((bp, lp, dp), jnp.float32),      # dz
+            jax.ShapeDtypeStruct((bp, lp, dp),
+                                 z.dtype if has_z else jnp.float32),  # dz
             jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dbias parts
             jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),  # dh0
         ],
@@ -888,7 +911,7 @@ def _short_core_bwd(softplus, bt, dtile, interpret, residuals, cotangents):
     # its batch tile independently of the fwd's
     bt = min(bt, max(1, SHORT_BT_ELEMS_BWD // c))
     up, deltap, Bp, Cp, zp, gp, bp, dp = _short_pad(
-        u, delta, B, C, z, g.astype(jnp.float32), bt, c, dtile)
+        u, delta, B, C, z, g, bt, c, dtile)
     At, Dp, biasp = _pad_params(A, D, delta_bias, dim, dp)
     if zp is None:
         zp = jnp.zeros((bp, 1, dp), u.dtype)
@@ -923,13 +946,15 @@ def _short_core_bwd(softplus, bt, dtile, interpret, residuals, cotangents):
         in_specs=[ld, ld, a_s, ln, ln, v_s, zs, v_s, ld],
         out_specs=[ld, ld, da_s, bc_s, bc_s, dvec_s, ld, dvec_s],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, c, dp), jnp.float32),        # du
-            jax.ShapeDtypeStruct((bp, c, dp), jnp.float32),        # ddelta
+            # input-dtype writes (downcast happened on exit anyway)
+            jax.ShapeDtypeStruct((bp, c, dp), u.dtype),            # du
+            jax.ShapeDtypeStruct((bp, c, dp), delta.dtype),        # ddelta
             jax.ShapeDtypeStruct((nbt, dstate, dp), jnp.float32),  # dA parts
             jax.ShapeDtypeStruct((ndt, bp, c, dstate), jnp.float32),  # dB
             jax.ShapeDtypeStruct((ndt, bp, c, dstate), jnp.float32),  # dC
             jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dD parts
-            jax.ShapeDtypeStruct((bp, c, dp), jnp.float32),        # dz
+            jax.ShapeDtypeStruct((bp, c, dp),
+                                 z.dtype if has_z else jnp.float32),  # dz
             jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dbias
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1448,11 +1473,14 @@ def _discretize(u_ref, delta_ref, b_ref, a_t, bias_t, softplus: bool,
 
 def _fwd_kernel_hs(
     u_ref, delta_ref, a_ref, b_ref, c_ref, d_ref, z_ref, bias_ref, h0_ref,
-    out_ref, states_ref, last_ref,
-    h_carry,
-    *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
-    chunk: int, seqlen: int,
+    out_ref, *rest,
+    softplus: bool, has_d: bool, has_z: bool, nchunks: int,
+    chunk: int, seqlen: int, want_states: bool = True,
 ):
+    if want_states:
+        states_ref, last_ref, h_carry = rest
+    else:
+        (last_ref, h_carry), states_ref = rest, None
     li = pl.program_id(2)
 
     @pl.when(li == 0)
@@ -1468,7 +1496,8 @@ def _fwd_kernel_hs(
         u_ref, delta_ref, b_ref, a_t, bias_t, softplus, li, chunk, seqlen)
 
     h0 = h_carry[...]                            # (n, d) carried prefix state
-    states_ref[0, 0] = h0                        # checkpoint for the backward
+    if want_states:
+        states_ref[0, 0] = h0                    # checkpoint for the backward
 
     a_cum, h_in = _inclusive_scan(a, bu)
     h = h_in + a_cum * h0[None]                  # (c, n, d) full states

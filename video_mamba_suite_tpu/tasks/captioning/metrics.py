@@ -200,6 +200,105 @@ def evaluate_dvc(
     return out
 
 
+def _parse_sent(sent: str) -> str:
+    """para_evaluate.py:26-29: strip non-letters, lowercase, re-join."""
+    import re
+
+    return " ".join(re.sub("[^a-zA-Z]", " ", sent).strip().lower().split())
+
+
+def _bleu_n(hyp: str, refs: List[str], n: int) -> float:
+    """Sentence BLEU-n (geometric mean of 1..n-gram precisions + BP)."""
+    h = hyp.split()
+    rs = [r.split() for r in refs if r.split()]
+    if not h or not rs:
+        return 0.0
+    max_n = min(n, len(h))
+    logp = 0.0
+    for k in range(1, max_n + 1):
+        hc = _ngrams(h, k)
+        max_rc: Counter = Counter()
+        for r in rs:
+            for g, v in _ngrams(r, k).items():
+                max_rc[g] = max(max_rc[g], v)
+        clipped = sum(min(v, max_rc[g]) for g, v in hc.items())
+        p = (clipped + 1e-9) / max(sum(hc.values()), 1)
+        logp += math.log(p) / max_n
+    ref_len = min((abs(len(r) - len(h)), len(r)) for r in rs)[1]
+    bp = 1.0 if len(h) > ref_len else math.exp(1 - ref_len / max(len(h), 1))
+    return bp * math.exp(logp)
+
+
+def evaluate_para(
+    predictions: Dict[str, List[dict]],   # vid → [{sentence, ...}] in order
+    para_ground_truth: "Dict[str, str] | List[Dict[str, str]]",
+) -> Dict[str, float]:
+    """Paragraph-captioning evaluation (the PDVC suite's second advertised
+    capability): per video, the predicted events' sentences are concatenated
+    IN STORED ORDER into one paragraph and scored against the paragraph GT
+    with corpus-averaged BLEU1-4 / METEOR / ROUGE-L / CIDEr, keys prefixed
+    ``para_``. Matches densevid_eval3/para_evaluate.py:108-125 +
+    eval_para.py (sentence normalization = parse_sent: letters only,
+    lowercased). Videos missing from `predictions` score as empty hyps,
+    exactly like the reference's `[''],`.
+
+    para_ground_truth: {vid: paragraph} or a list of such dicts (multiple
+    reference files).
+    """
+    gts_list = (
+        para_ground_truth if isinstance(para_ground_truth, list)
+        else [para_ground_truth]
+    )
+    vid_ids = sorted({v for gt in gts_list for v in gt.keys()})
+    hyps: List[str] = []
+    refs: List[List[str]] = []
+    for vid in vid_ids:
+        events = predictions.get(vid, [])
+        para = ". ".join(e["sentence"] for e in events)
+        hyps.append(_parse_sent(para))
+        refs.append([_parse_sent(gt[vid]) for gt in gts_list if vid in gt])
+    out: Dict[str, float] = {}
+    for n in range(1, 5):
+        out[f"para_Bleu_{n}"] = 100 * float(np.mean(
+            [_bleu_n(h, r, n) for h, r in zip(hyps, refs)])) if hyps else 0.0
+    out["para_METEOR"] = 100 * float(np.mean(
+        [meteor(h, r) for h, r in zip(hyps, refs)])) if hyps else 0.0
+    out["para_ROUGE_L"] = 100 * float(np.mean(
+        [rouge_l(h, r) for h, r in zip(hyps, refs)])) if hyps else 0.0
+    out["para_CIDEr"] = 100 * cider_d(hyps, refs) if hyps else 0.0
+    return out
+
+
+def rerank_predictions(
+    predictions: Dict[str, List[dict]],
+    alpha: float = 0.3,
+    temperature: float = 2.0,
+) -> Dict[str, List[dict]]:
+    """Score reranking (eval_utils.py:144-166): joint_score =
+    alpha·sentence_score/len(sentence)^temperature + proposal_score; keep the
+    top `pred_event_count` (of the highest-joint-score event) proposals,
+    re-sorted by timestamp. Events need `sentence_score`, `proposal_score`
+    and `pred_event_count` fields (emitted by CaptioningTrainer.predict)."""
+    out: Dict[str, List[dict]] = {}
+    for vid, events in predictions.items():
+        if not events:
+            out[vid] = []
+            continue
+        scored = []
+        for e in events:
+            nwords = float(len(e["sentence"].split()))
+            joint = (alpha * e["sentence_score"]
+                     / (nwords ** temperature + 1e-5)
+                     + e["proposal_score"])
+            scored.append((joint, e))
+        scored.sort(key=lambda t: t[0], reverse=True)
+        top_n = int(scored[0][1].get("pred_event_count", len(scored)))
+        kept = [e for _, e in scored[: max(top_n, 1)]]
+        kept.sort(key=lambda e: e["timestamp"])
+        out[vid] = kept
+    return out
+
+
 def soda_c(predictions: Dict[str, List[dict]],
            ground_truth: Dict[str, List[dict]]) -> float:
     """SODA-c (eval_soda.py:45): per-video optimal order-preserving

@@ -227,18 +227,23 @@ class LSTMCaptioner(nn.Module):
 
     def decode_greedy(self, event_feats: jax.Array, bos: int = 0,
                       eos: int = 0):
-        """Greedy decode (N, max_caption_len) token ids."""
+        """Greedy decode → ((N, max_caption_len) token ids,
+        (N, max_caption_len) per-token log-probs of the chosen tokens —
+        the `sentence_score` source for reranking, eval_utils.py:153)."""
         N = event_feats.shape[0]
         feat = self.feat_proj(event_feats)
         carry = (jnp.zeros_like(feat), feat)
         tok = jnp.full((N,), bos, jnp.int32)
-        toks = []
+        toks, lps = [], []
         for _ in range(self.max_caption_len):
             w = self.word_embed(tok)
             carry, out = self.cell(carry, w)
-            tok = jnp.argmax(self.logit(out), axis=-1).astype(jnp.int32)
+            logits = self.logit(out)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lps.append(jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0])
             toks.append(tok)
-        return jnp.stack(toks, axis=1)
+        return jnp.stack(toks, axis=1), jnp.stack(lps, axis=1)
 
 
 class PDVC(nn.Module):

@@ -80,14 +80,14 @@ class CaptioningTrainer:
         @jax.jit
         def fwd(params, feats, mask):
             out = model_.apply(params, feats, mask, deterministic=True)
-            caps = model_.apply(
+            caps, cap_lps = model_.apply(
                 params,
                 out["query_feats"].reshape(-1, out["query_feats"].shape[-1]),
                 method="caption_greedy",
             )
-            return out, caps.reshape(
-                out["query_feats"].shape[0], -1, caps.shape[-1]
-            )
+            B = out["query_feats"].shape[0]
+            return (out, caps.reshape(B, -1, caps.shape[-1]),
+                    cap_lps.reshape(B, -1, cap_lps.shape[-1]))
 
         self._step = step
         self._fwd = fwd
@@ -134,11 +134,15 @@ class CaptioningTrainer:
     def predict(self, feats, mask, duration: float, topk: int = 10,
                 vocab: Optional[List[str]] = None) -> List[dict]:
         """Decode events + captions for one batch; returns per-video lists of
-        {timestamp, sentence, score} ranked by class prob."""
-        out, caps = self._fwd(self.params, feats, mask)
+        {timestamp, sentence, score, proposal_score, sentence_score,
+        pred_event_count} ranked by class prob (the rerank fields of the
+        reference dvc json, eval_utils.py:144-166)."""
+        out, caps, cap_lps = self._fwd(self.params, feats, mask)
         probs = np.asarray(jax.nn.sigmoid(out["pred_logits"]).max(-1))
         boxes = np.asarray(out["pred_boxes"])
+        counts = np.asarray(jnp.argmax(out["pred_count"], axis=-1))
         caps = np.asarray(caps)
+        cap_lps = np.asarray(cap_lps)
         results = []
         for b in range(feats.shape[0]):
             order = np.argsort(-probs[b])[:topk]
@@ -147,15 +151,19 @@ class CaptioningTrainer:
                 c, l = boxes[b, q]
                 start, end = (c - l / 2) * duration, (c + l / 2) * duration
                 toks = caps[b, q]
-                words = []
-                for t in toks:
+                words, sent_lp = [], 0.0
+                for i, t in enumerate(toks):
                     if t == 0:
                         break
                     words.append(vocab[t] if vocab else str(int(t)))
+                    sent_lp += float(cap_lps[b, q, i])
                 events.append(dict(
                     timestamp=[float(start), float(end)],
                     sentence=" ".join(words),
                     score=float(probs[b, q]),
+                    proposal_score=float(probs[b, q]),
+                    sentence_score=sent_lp,
+                    pred_event_count=int(counts[b]),
                 ))
             results.append(events)
         return results
