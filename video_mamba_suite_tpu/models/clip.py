@@ -22,7 +22,12 @@ from .vivim import ViViM
 
 
 class ResidualAttentionBlock(nn.Module):
-    """Pre-LN transformer block (transformer.py ResidualAttentionBlock)."""
+    """Pre-LN transformer block (transformer.py ResidualAttentionBlock).
+
+    LayerNorm eps is 1e-5 (torch default, used by the reference text/image
+    towers) — flax's 1e-6 default drifts ~1% per layer at CLIP's tiny
+    (std 0.02) embedding scale (caught by tests/test_tower_parity.py).
+    """
 
     width: int
     heads: int
@@ -30,11 +35,11 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm(name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         x = x + FusedMHA(
             num_heads=self.heads, causal=self.causal, name="attn",
         )(h, deterministic=deterministic)
-        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         x = x + Mlp(4 * self.width, self.width, name="mlp")(
             h, deterministic=deterministic
         )
@@ -74,7 +79,7 @@ class TextTransformer(nn.Module):
                 self.width, self.heads, causal=self.causal_mask,
                 name=f"resblock{i}",
             )(x, deterministic=deterministic)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         if return_tokens:
             return x
         eot = jnp.argmax(text, axis=-1)
@@ -120,12 +125,12 @@ class ClipImageTower(nn.Module):
                          nn.initializers.normal(self.width ** -0.5),
                          (feat.shape[1], self.width))
         feat = feat + pos.astype(feat.dtype)
-        feat = nn.LayerNorm(name="ln_pre")(feat)
+        feat = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(feat)
         for i in range(self.layers):
             feat = ResidualAttentionBlock(
                 self.width, self.heads, causal=False, name=f"resblock{i}",
             )(feat, deterministic=deterministic)
-        feat = nn.LayerNorm(name="ln_post")(feat[:, 0])
+        feat = nn.LayerNorm(epsilon=1e-5, name="ln_post")(feat[:, 0])
         if self.output_dim is not None:
             proj = self.param("proj",
                               nn.initializers.normal(self.width ** -0.5),
