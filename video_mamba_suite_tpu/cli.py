@@ -487,14 +487,25 @@ def run_recognition(cfg, epochs, synthetic, ckpt=None):
             mixup_alpha=cfg.get("aug", {}).get("mixup", 0.8),
             cutmix_alpha=cfg.get("aug", {}).get("cutmix", 1.0),
         )
+        # preset-gated RandAugment + RandomErasing (the K400 finetune
+        # recipe, kinetics_sparse.py:183-233)
+        from .data.video_augment import make_train_augment
+
+        aug_fn = make_train_augment(cfg.get("aug", {}))
         bs = cfg.get("loader", {}).get("batch_size", 8)
         rng = np.random.default_rng(0)
         for ep in range(epochs):
             order = rng.permutation(len(ds))
             for i in range(0, len(ds) - bs + 1, bs):
                 rows = [ds[j] for j in order[i:i + bs]]
-                videos = np.stack(
-                    [r["frames"][0].astype(np.float32) / 255.0 for r in rows])
+                if aug_fn is not None:
+                    videos = np.stack([
+                        aug_fn(r["frames"][0].astype(np.uint8), rng)
+                        for r in rows])
+                else:
+                    videos = np.stack([
+                        r["frames"][0].astype(np.float32) / 255.0
+                        for r in rows])
                 labels = np.array([r["label"] for r in rows], np.int32)
                 loss = tr.train_step(videos, labels)
             print(f"epoch {ep}: loss {loss:.4f}", flush=True)

@@ -107,7 +107,10 @@ PRESETS: Dict[str, Dict[str, Any]] = {
                    img_size=224, num_classes=400, drop_path_rate=0.1),
         opt=dict(learning_rate=1e-3, weight_decay=0.05, layer_decay=0.75,
                  epochs=30, warmup_epochs=5, ema_decay=0.9999),
-        aug=dict(mixup=0.8, cutmix=1.0, smoothing=0.1),
+        aug=dict(mixup=0.8, cutmix=1.0, smoothing=0.1,
+                 # run_class_finetuning.py:95-113 defaults
+                 aa="rand-m7-n4-mstd0.5-inc1", reprob=0.25, remode="pixel",
+                 recount=1),
         loader=dict(batch_size=256),
         test=dict(num_temporal_views=4, num_spatial_views=3),
     ),

@@ -333,20 +333,47 @@ class RandomErasingVideo:
 
 def train_augment_clip(
     clip_uint8: np.ndarray,
-    mean: Tuple[float, ...] = (0.485, 0.456, 0.406),
-    std: Tuple[float, ...] = (0.229, 0.224, 0.225),
+    mean: Optional[Tuple[float, ...]] = (0.485, 0.456, 0.406),
+    std: Optional[Tuple[float, ...]] = (0.229, 0.224, 0.225),
     rand_augment: Optional[RandAugmentVideo] = None,
     random_erasing: Optional[RandomErasingVideo] = None,
     rng: Optional[np.random.Generator] = None,
 ) -> np.ndarray:
     """The _aug_frame composition (kinetics_sparse.py:177-236): RandAugment
-    on uint8 → normalize → RandomErasing on the normalized clip. Crop /
-    flip / resize stay in the jitted device stage (data/video.py)."""
+    on uint8 → normalize (mean=None ⇒ plain /255) → RandomErasing on the
+    normalized clip. Crop / flip / resize stay in the jitted device stage
+    (data/video.py)."""
     rng = rng or np.random.default_rng()
     if rand_augment is not None:
         clip_uint8 = rand_augment(clip_uint8, rng)
     clip = clip_uint8.astype(np.float32) / 255.0
-    clip = (clip - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    if mean is not None:
+        clip = (clip - np.asarray(mean, np.float32)) / np.asarray(
+            std, np.float32)
     if random_erasing is not None:
         clip = random_erasing(clip, rng)
     return clip
+
+
+def make_train_augment(aug_cfg: dict):
+    """Preset-gated augment fn (run_class_finetuning.py:95-113 defaults:
+    aa='rand-m7-n4-mstd0.5-inc1', reprob=0.25, remode='pixel', recount=1).
+    Returns clip_uint8 → float32 fn, or None when the preset enables
+    neither."""
+    aa = aug_cfg.get("aa")
+    reprob = float(aug_cfg.get("reprob", 0.0))
+    if not aa and reprob <= 0:
+        return None
+    ra = RandAugmentVideo(aa) if aa else None
+    re_ = (RandomErasingVideo(reprob, mode=aug_cfg.get("remode", "pixel"),
+                              max_count=int(aug_cfg.get("recount", 1)))
+           if reprob > 0 else None)
+    mean = aug_cfg.get("mean")  # None ⇒ plain /255 (trainer convention)
+    std = aug_cfg.get("std")
+
+    def fn(clip_uint8, rng=None):
+        return train_augment_clip(clip_uint8, mean=mean, std=std,
+                                  rand_augment=ra, random_erasing=re_,
+                                  rng=rng)
+
+    return fn
