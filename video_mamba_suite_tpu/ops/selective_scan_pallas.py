@@ -54,7 +54,9 @@ DEFAULT_DTILE = 256
 # each block so the sequential in-chunk walk fills the VPU; the bwd cap is
 # lower because it holds chunk recomputed (bt, n, dtile) states in VMEM.
 LONG_BT_ELEMS = 1024
-LONG_BT_ELEMS_BWD = 128
+LONG_BT_ELEMS_BWD = 128  # bwd holds chunk·bt·n·dtile recomputed states in
+                         # VMEM (8.4 MB at bt=2/chunk=64 — bt=4 would blow
+                         # the ~16 MB scoped budget)
 # At or below this batch the long path uses the Hillis–Steele in-chunk
 # kernels instead (one batch row per grid step): the sequential walk's
 # per-step work (bt·n·dtile lanes) starves the VPU without batch to tile,
@@ -745,15 +747,18 @@ def _short_bwd_kernel(
     n = a_t.shape[0]
     dtu = dt * u
 
-    # forward recompute, keeping per-step a and h in VMEM/registers
-    # (c · bt·n·d fp32 each — the short path's whole point is c is tiny)
+    # forward recompute, keeping per-step h in VMEM/registers (c · bt·n·d
+    # fp32 — the short path's whole point is c is tiny). The decay a is NOT
+    # stored: it is recomputed in the reverse loop — exp costs nothing here
+    # (a no-transcendental kernel variant measured SLOWER, r3 diagnostics),
+    # and dropping the a list halves the bwd's VMEM so its batch tile can
+    # double (VPU fill).
     h = jnp.zeros((bt, n, d), jnp.float32)
-    hs, a_steps = [], []
+    hs = []
     for t in range(c):
         a_step = jnp.exp(_row1(dt, t)[:, None, :] * a_t[None])
         bu = _row1(dtu, t)[:, None, :] * _col(bmat, t)
         h = a_step * h + bu
-        a_steps.append(a_step)
         hs.append(h)
 
     g = g_ref[...].astype(jnp.float32)                 # (bt, c, d)
@@ -778,9 +783,10 @@ def _short_bwd_kernel(
     dcs, dbs, ddts, dus = [None] * c, [None] * c, [None] * c, [None] * c
     for t in range(c - 1, -1, -1):
         gy_t = _row1(gy, t)                            # (bt, d)
+        a_step = jnp.exp(_row1(dt, t)[:, None, :] * a_t[None])  # recompute
         dh = _col(cmat, t) * gy_t[:, None, :] + dh_carry
         h_prev = hs[t - 1] if t > 0 else jnp.zeros((bt, n, d), jnp.float32)
-        da_el = dh * h_prev * a_steps[t]               # (bt, n, d)
+        da_el = dh * h_prev * a_step                   # (bt, n, d)
         da_acc = da_acc + jnp.sum(da_el * _row1(dt, t)[:, None, :], axis=0)
         # dB/dC accumulated as (bt, n, 1) lane columns; transposed to the
         # (bt, c, n) output layout ONCE after the loop (not per step)
@@ -790,7 +796,7 @@ def _short_bwd_kernel(
         ddts[t] = (jnp.sum(da_el * a_t[None], axis=1)
                    + dh_b * _row1(u, t))[:, None]
         dus[t] = (dh_b * _row1(dt, t))[:, None]
-        dh_carry = a_steps[t] * dh
+        dh_carry = a_step * dh
 
     da_ref[0] = da_acc
     dc_ref[0] = jnp.swapaxes(
@@ -981,7 +987,9 @@ _short_core.defvjp(_short_core_fwd, _short_core_bwd)
 
 SHORT_SEQ_MAX = 64  # sequences padded to ≤ this take the batch-tiled path
 SHORT_BT_ELEMS = 512       # fwd batch-tile: bt = SHORT_BT_ELEMS // c
-SHORT_BT_ELEMS_BWD = 128   # bwd cap (per-step state lists live in VMEM)
+SHORT_BT_ELEMS_BWD = 256   # bwd cap: only the per-step h list lives in VMEM
+                           # now (decays recomputed in the reverse loop), so
+                           # the tile is 2x the r2 value
 
 
 # ---------------------------------------------------------------------------
