@@ -913,7 +913,7 @@ def _short_core_bwd(softplus, bt, dtile, interpret, residuals, cotangents):
     ngroups = B.shape[2]
     has_d, has_z = D is not None, z is not None
     c = _round_up(seqlen, 8)
-    # the bwd keeps per-step h/a lists (2·c·bt·n·dtile fp32) in VMEM — cap
+    # the bwd keeps the per-step h list (c·bt·n·dtile fp32) in VMEM — cap
     # its batch tile independently of the fwd's
     bt = min(bt, max(1, SHORT_BT_ELEMS_BWD // c))
     up, deltap, Bp, Cp, zp, gp, bp, dp = _short_pad(
@@ -964,7 +964,13 @@ def _short_core_bwd(softplus, bt, dtile, interpret, residuals, cotangents):
             jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dbias
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            # the per-step h list is ~c·bt·n·dtile fp32 ≈ 22 MB at the
+            # TimeMamba adapter shape (bt=16, c=16) — past the 16 MB default
+            # scoped-VMEM budget; v5e has 128 MB/core so raise the cap
+            # instead of halving the batch tile (VPU fill wins)
+            vmem_limit_bytes=SHORT_BWD_VMEM_LIMIT if not interpret else None,
+        ),
         interpret=interpret,
     )(up, deltap, At, Bp, Cp, Dp, zp, biasp, gp)
 
@@ -987,9 +993,15 @@ _short_core.defvjp(_short_core_fwd, _short_core_bwd)
 
 SHORT_SEQ_MAX = 64  # sequences padded to ≤ this take the batch-tiled path
 SHORT_BT_ELEMS = 512       # fwd batch-tile: bt = SHORT_BT_ELEMS // c
-SHORT_BT_ELEMS_BWD = 256   # bwd cap: only the per-step h list lives in VMEM
-                           # now (decays recomputed in the reverse loop), so
-                           # the tile is 2x the r2 value
+SHORT_BT_ELEMS_BWD = 128   # bwd cap (per-step h list lives in VMEM; decays
+                           # are recomputed in the reverse loop). A chip
+                           # sweep at the TimeMamba adapter shape (1568 rows,
+                           # c=16) measured bt 4/6/8/12/16 = 4.29/4.76/3.93/
+                           # 4.63/4.03 ms fwd+bwd — bt=8 wins; bigger tiles
+                           # also outgrow the 16 MB default scoped VMEM.
+SHORT_BWD_VMEM_LIMIT = 64 * 1024 * 1024  # scoped-VMEM headroom so seqlens
+                           # whose c doesn't divide the cap cleanly (bt
+                           # rounding up the h-list footprint) still compile
 
 
 # ---------------------------------------------------------------------------
@@ -1222,6 +1234,7 @@ def selective_scan_pallas_bidir(
 
 def _cfwd_kernel(
     u_ref, delta_ref, ar_ref, ai_ref, b_ref, c_ref, d_ref, z_ref, bias_ref,
+    h0r_ref, h0i_ref,
     out_ref, lastr_ref, lasti_ref,
     hr_carry, hi_carry,
     *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
@@ -1231,8 +1244,10 @@ def _cfwd_kernel(
 
     @pl.when(li == 0)
     def _():
-        hr_carry[...] = jnp.zeros_like(hr_carry)
-        hi_carry[...] = jnp.zeros_like(hi_carry)
+        # zeros normally; an incoming complex prefix when the caller chains
+        # shards (sequence parallelism) — same contract as the real kernel
+        hr_carry[...] = h0r_ref[...]
+        hi_carry[...] = h0i_ref[...]
 
     ar_t = ar_ref[...].astype(jnp.float32)         # (n, d) Re(A) tile
     ai_t = ai_ref[...].astype(jnp.float32)         # (n, d) Im(A) tile
@@ -1273,7 +1288,7 @@ def _cfwd_kernel(
         lasti_ref[...] = hi
 
 
-def _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
+def _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i,
                       softplus, chunk, dtile, interpret):
     batch, seqlen, dim = u.shape
     dstate = Ar.shape[1]
@@ -1289,6 +1304,8 @@ def _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
     Ait, Dp, _ = _pad_params(Ai, D, None, dim, dp)
     if zp is None:
         zp = jnp.zeros((bp, 1, dp), u.dtype)
+    h0rp = _pad_h0(h0r, bp, dim, dstate, dp, u.dtype)
+    h0ip = _pad_h0(h0i, bp, dim, dstate, dp, u.dtype)
 
     ld_spec, ln_spec, z_spec, a_spec, vec_spec, _ = _specs(
         bt, chunk, dtile, dstate, nchunks, has_z, reverse=False,
@@ -1305,7 +1322,7 @@ def _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
         kernel,
         grid=(nbt, ndt, nchunks),
         in_specs=[ld_spec, ld_spec, a_spec, a_spec, ln_spec, ln_spec,
-                  vec_spec, z_spec, vec_spec],
+                  vec_spec, z_spec, vec_spec, last_spec, last_spec],
         out_specs=[ld_spec, last_spec, last_spec],
         out_shape=[
             jax.ShapeDtypeStruct((bp, lp, dp), u.dtype),
@@ -1316,53 +1333,74 @@ def _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
                         pltpu.VMEM((bt, dstate, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
         interpret=interpret,
-    )(up, deltap, Art, Ait, Bp, Cp, Dp, zp, biasp)
+    )(up, deltap, Art, Ait, Bp, Cp, Dp, zp, biasp, h0rp, h0ip)
 
     out = out[:batch, :seqlen, :dim]
     last = (jnp.swapaxes(lastr, 1, 2) + 1j * jnp.swapaxes(lasti, 1, 2))
     return out, last[:batch, :dim].astype(jnp.complex64)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
-def _complex_core(u, delta, Ar, Ai, B, C, D, z, delta_bias,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def _complex_core(u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i,
                   softplus: bool, chunk: int, dtile: int, interpret: bool):
     return _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
-                             softplus, chunk, dtile, interpret)
+                             h0r, h0i, softplus, chunk, dtile, interpret)
 
 
-def _complex_core_fwd(u, delta, Ar, Ai, B, C, D, z, delta_bias,
+def _complex_core_fwd(u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i,
                       softplus, chunk, dtile, interpret):
     outs = _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
-                             softplus, chunk, dtile, interpret)
-    return outs, (u, delta, Ar, Ai, B, C, D, z, delta_bias)
+                             h0r, h0i, softplus, chunk, dtile, interpret)
+    return outs, (u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i)
 
 
 def _complex_core_bwd(softplus, chunk, dtile, interpret, res, cot):
     """Adjoint via the XLA associative-scan path (exact same math; the
-    last-state cotangent is dropped, as in the reference SelectiveScanFn)."""
+    last-state cotangent is dropped, as in the reference SelectiveScanFn).
+    The incoming-prefix contribution h_t += exp(S_t·A)·h0 (S = cumsum dt) is
+    added analytically so d(h0) and the h0-dependence of the other grads are
+    exact — |exp(S·A)| ≤ 1 for Re(A) < 0, so the form is stable."""
     from .selective_scan import selective_scan_assoc
 
-    u, delta, Ar, Ai, B, C, D, z, delta_bias = res
+    u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i = res
     g, _glast = cot
     has = [x is not None for x in (D, z, delta_bias)]
 
-    def f(u, delta, Ar, Ai, B, C, *opt):
+    def f(u, delta, Ar, Ai, B, C, h0r, h0i, *opt):
         it = iter(opt)
         Dv = next(it) if has[0] else None
         zv = next(it) if has[1] else None
         bv = next(it) if has[2] else None
-        return selective_scan_assoc(
-            u, delta, Ar + 1j * Ai, B, C, D=Dv, z=zv, delta_bias=bv,
+        A = Ar + 1j * Ai
+        y = selective_scan_assoc(
+            u, delta, A, B, C, D=None, z=None, delta_bias=bv,
             delta_softplus=softplus)
+        dtv = delta.astype(jnp.float32) + (
+            bv.astype(jnp.float32) if bv is not None else 0.0)
+        if softplus:
+            dtv = jax.nn.softplus(dtv)
+        S = jnp.cumsum(dtv, axis=1)                       # (b, l, d)
+        P = jnp.exp(S[..., None] * A[None, None])          # (b, l, d, n)
+        h0c = h0r + 1j * h0i                               # (b, d, n)
+        Cc = C[:, :, 0] if C.ndim == 4 else C
+        corr = 2.0 * jnp.real(jnp.einsum(
+            "bln,bldn,bdn->bld", Cc.astype(P.dtype), P, h0c))
+        y = y + corr.astype(y.dtype)
+        if Dv is not None:
+            y = y + u * Dv.astype(u.dtype)
+        if zv is not None:
+            zf = zv.astype(jnp.float32)
+            y = y * (zf * jax.nn.sigmoid(zf)).astype(y.dtype)
+        return y
 
     opt = tuple(x for x in (D, z, delta_bias) if x is not None)
-    _, vjp = jax.vjp(f, u, delta, Ar, Ai, B, C, *opt)
+    _, vjp = jax.vjp(f, u, delta, Ar, Ai, B, C, h0r, h0i, *opt)
     grads = vjp(g.astype(jnp.float32).astype(u.dtype))
-    it = iter(grads[6:])
+    it = iter(grads[8:])
     dD = next(it) if has[0] else None
     dz = next(it) if has[1] else None
     dbias = next(it) if has[2] else None
-    return grads[:6] + (dD, dz, dbias)
+    return grads[:6] + (dD, dz, dbias, grads[6], grads[7])
 
 
 _complex_core.defvjp(_complex_core_fwd, _complex_core_bwd)
@@ -1371,14 +1409,18 @@ _complex_core.defvjp(_complex_core_fwd, _complex_core_bwd)
 def _selective_scan_pallas_complex(u, delta, A, B, C, D, z, delta_bias,
                                    delta_softplus, return_last_state,
                                    chunk, dtile, interpret, initial_state):
-    if initial_state is not None:
-        raise NotImplementedError(
-            "complex-A Pallas path has no initial_state (use impl='assoc')")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if initial_state is not None:
+        h0r = jnp.real(initial_state).astype(jnp.float32)
+        h0i = jnp.imag(initial_state).astype(jnp.float32)
+    else:  # concrete zeros: custom_vjp diff args cannot be None
+        shape = (u.shape[0], u.shape[2], A.shape[1])
+        h0r = h0i = jnp.zeros(shape, jnp.float32)
     out, last = _complex_core(
         u, delta, A.real.astype(jnp.float32), A.imag.astype(jnp.float32),
-        B, C, D, z, delta_bias, delta_softplus, chunk, dtile, interpret)
+        B, C, D, z, delta_bias, h0r, h0i,
+        delta_softplus, chunk, dtile, interpret)
     if return_last_state:
         return out, lax.stop_gradient(last)
     return out
