@@ -405,6 +405,66 @@ def test_bidir_fused_padded_seqlen():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_complex_initial_state():
+    """Complex-A shard chaining: scanning [x1; x2] in one call equals
+    scanning x2 seeded with x1's complex last state (sequence-parallel
+    contract, now supported on the complex Pallas path), incl. the
+    analytic h0 gradient added in the assoc-adjoint bwd."""
+    rng = jax.random.PRNGKey(23)
+    b, l, d, n = 2, 128, 16, 4
+    ks = jax.random.split(rng, 7)
+    u = jax.random.normal(ks[0], (b, l, d))
+    delta = 0.5 * jax.random.uniform(ks[1], (b, l, d))
+    A = (-0.5 * jax.random.uniform(ks[2], (d, n))
+         + 1j * jax.random.normal(ks[5], (d, n))).astype(jnp.complex64)
+    B = jax.random.normal(ks[3], (b, l, n))
+    C = jax.random.normal(ks[4], (b, l, n))
+    h = l // 2
+
+    full, full_last = selective_scan_pallas(
+        u, delta, A, B, C, delta_softplus=True, return_last_state=True,
+        chunk=32)
+    o1, last1 = selective_scan_pallas(
+        u[:, :h], delta[:, :h], A, B[:, :h], C[:, :h],
+        delta_softplus=True, return_last_state=True, chunk=32)
+    o2, last2 = selective_scan_pallas(
+        u[:, h:], delta[:, h:], A, B[:, h:], C[:, h:],
+        delta_softplus=True, return_last_state=True, initial_state=last1,
+        chunk=32)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([o1, o2], 1)),
+                               np.asarray(full), rtol=5e-4, atol=2e-3)
+    np.testing.assert_allclose(np.abs(np.asarray(last2 - full_last)).max(),
+                               0, atol=2e-3)
+
+    # h0 gradient (wrt real/imag parts) vs the analytically-folded ref:
+    # y_t += 2·Re(C_t · exp(cumsum(dt)·A) h0)
+    g = jax.random.normal(ks[6], (b, l - h, d))
+
+    def via_pallas(h0r, h0i):
+        out = selective_scan_pallas(
+            u[:, h:], delta[:, h:], A, B[:, h:], C[:, h:],
+            delta_softplus=True, initial_state=h0r + 1j * h0i, chunk=32)
+        return jnp.sum(out * g)
+
+    def via_ref(h0r, h0i):
+        dtf = jax.nn.softplus(delta[:, h:].astype(jnp.float32))
+        out = selective_scan_ref(u[:, h:], delta[:, h:], A, B[:, h:],
+                                 C[:, h:], delta_softplus=True)
+        decay = jnp.exp(jnp.cumsum(dtf, axis=1)[..., None] * A[None, None])
+        corr = 2.0 * jnp.real(jnp.einsum(
+            "bldn,bdn,bln->bld", decay, h0r + 1j * h0i,
+            C[:, h:].astype(jnp.complex64)))
+        return jnp.sum((out + corr) * g)
+
+    h0r = jnp.real(jnp.asarray(last1))
+    h0i = jnp.imag(jnp.asarray(last1))
+    gp = jax.grad(via_pallas, argnums=(0, 1))(h0r, h0i)
+    gr = jax.grad(via_ref, argnums=(0, 1))(h0r, h0i)
+    for a_, r_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
+                                   rtol=3e-3, atol=3e-3)
+
+
 def test_pallas_complex_a():
     """Complex-A support (reference BOOL_SWITCH complex variants,
     selective_scan.cpp:310-330): the two-channel real kernel matches the
