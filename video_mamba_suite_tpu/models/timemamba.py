@@ -167,6 +167,10 @@ class TimeMamba(nn.Module):
     scan_group: int = 1             # blocks per scan step (must divide depth)
     remat: bool = False             # rematerialize blocks under scan (the
                                     # grad-checkpointing option, timemamba.py:366)
+    remat_policy: Optional[str] = None  # name in jax.checkpoint_policies
+                                    # (e.g. "dots_saveable": keep MXU outputs,
+                                    # recompute only elementwise/norm work —
+                                    # trades HBM for a much cheaper recompute)
     dtype: Any = None               # compute dtype (e.g. jnp.bfloat16)
     impl: str = "auto"
 
@@ -207,7 +211,12 @@ class TimeMamba(nn.Module):
 
         if self.scan_blocks:
             assert self.depth % self.scan_group == 0, "scan_group ∤ depth"
-            body = nn.remat(_BlockScanBody) if self.remat else _BlockScanBody
+            if self.remat:
+                policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                          if self.remat_policy else None)
+                body = nn.remat(_BlockScanBody, policy=policy)
+            else:
+                body = _BlockScanBody
             scanned = nn.scan(
                 body,
                 variable_axes={"params": 0},
