@@ -240,12 +240,18 @@ class FusedMHA(nn.Module):
     num_heads: int
     dtype: Any = None
     causal: bool = False
-    flash: Optional[bool] = None  # True: Pallas flash kernel (fp32 online
+    flash: Optional[Any] = None   # True: Pallas flash kernel (fp32 online
                                   # softmax). MEASURED SLOWER at the vision
                                   # shapes (197 tokens pad to 256; B·t=128
                                   # grid): 79 vs 46 ms for the 12-layer
                                   # spatial stack — default stays the XLA
                                   # einsum path; opt in for long sequences.
+                                  # "vmem": whole-row VMEM kernel
+                                  # (ops/vision_attention.py) — also measured
+                                  # slower at the vision shape (1.37 vs
+                                  # 1.23 ms at I128/h12/N197/dh64; XLA's
+                                  # pipelined fusion wins), kept as an option
+                                  # for its fp32-softmax numerics.
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -262,7 +268,18 @@ class FusedMHA(nn.Module):
             return t.reshape(t.shape[:-1] + (H, dh))
 
         q, k, v = heads(q), heads(k), heads(v)
-        use_flash = bool(self.flash) and jax.default_backend() == "tpu"
+        if (self.flash == "vmem" and x.ndim == 3 and not self.causal
+                and x.shape[-2] <= 512):
+            from ..ops.vision_attention import vision_mha
+
+            interp = jax.default_backend() != "tpu"
+            out = vision_mha(*(jnp.swapaxes(t, 1, 2) for t in (q, k, v)),
+                             interpret=interp)
+            out = jnp.swapaxes(out, 1, 2).reshape(x.shape[:-1] + (D,))
+            return nn.Dense(D, dtype=self.dtype,
+                            kernel_init=nn.initializers.xavier_uniform(),
+                            name="out")(out)
+        use_flash = self.flash is True and jax.default_backend() == "tpu"
         if use_flash and x.ndim == 3 and dh % 64 == 0:
             return nn.Dense(D, dtype=self.dtype,
                             kernel_init=nn.initializers.xavier_uniform(),
