@@ -20,6 +20,45 @@ from .mamba import MambaDBM, MambaVim, torch_linear_init
 
 
 # ---------------------------------------------------------------------------
+# quantized serving-mode projection
+
+
+class QuantDense(nn.Module):
+    """Drop-in nn.Dense with dynamic w8a8 int8 matmul (ops/quant.py).
+
+    The parameter tree ('kernel' (in, out) fp32, optional 'bias') is
+    IDENTICAL to nn.Dense, so bf16 checkpoints, weight porting and init
+    schemes are unchanged — only the serving-mode matmul differs.
+    Inference-only (gradients stop at the quantization).
+    """
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_matmul
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), self.param_dtype)
+        out = int8_matmul(x, kernel, out_dtype=self.dtype or x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              self.param_dtype)
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+def make_dense(features: int, *, quant: bool = False, **kw):
+    """nn.Dense, or its w8a8 serving-mode drop-in when quant=True."""
+    return (QuantDense if quant else nn.Dense)(features, **kw)
+
+
+# ---------------------------------------------------------------------------
 # regularization
 
 
@@ -252,6 +291,7 @@ class FusedMHA(nn.Module):
                                   # 1.23 ms at I128/h12/N197/dh64; XLA's
                                   # pipelined fusion wins), kept as an option
                                   # for its fp32-softmax numerics.
+    quant: bool = False           # w8a8 serving mode for qkv/out projections
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -259,9 +299,9 @@ class FusedMHA(nn.Module):
         D = x.shape[-1]
         H = self.num_heads
         dh = D // H
-        qkv = nn.Dense(3 * D, dtype=self.dtype,
-                       kernel_init=nn.initializers.xavier_uniform(),
-                       name="qkv")(x)
+        qkv = make_dense(3 * D, quant=self.quant, dtype=self.dtype,
+                         kernel_init=nn.initializers.xavier_uniform(),
+                         name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -276,14 +316,14 @@ class FusedMHA(nn.Module):
             out = vision_mha(*(jnp.swapaxes(t, 1, 2) for t in (q, k, v)),
                              interpret=interp)
             out = jnp.swapaxes(out, 1, 2).reshape(x.shape[:-1] + (D,))
-            return nn.Dense(D, dtype=self.dtype,
-                            kernel_init=nn.initializers.xavier_uniform(),
-                            name="out")(out)
+            return make_dense(D, quant=self.quant, dtype=self.dtype,
+                              kernel_init=nn.initializers.xavier_uniform(),
+                              name="out")(out)
         use_flash = self.flash is True and jax.default_backend() == "tpu"
         if use_flash and x.ndim == 3 and dh % 64 == 0:
-            return nn.Dense(D, dtype=self.dtype,
-                            kernel_init=nn.initializers.xavier_uniform(),
-                            name="out")(_flash_mha(q, k, v, self.causal))
+            return make_dense(D, quant=self.quant, dtype=self.dtype,
+                              kernel_init=nn.initializers.xavier_uniform(),
+                              name="out")(_flash_mha(q, k, v, self.causal))
         # scores stay in the compute dtype (bf16 under the bf16 policy) so
         # the (…, h, q, k) tensor is half the bytes; the MXU accumulates in
         # fp32 internally either way
@@ -298,9 +338,9 @@ class FusedMHA(nn.Module):
         w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("...hqk,...khd->...qhd", w, v)
         out = out.reshape(out.shape[:-2] + (D,))
-        return nn.Dense(D, dtype=self.dtype,
-                        kernel_init=nn.initializers.xavier_uniform(),
-                        name="out")(out)
+        return make_dense(D, quant=self.quant, dtype=self.dtype,
+                          kernel_init=nn.initializers.xavier_uniform(),
+                          name="out")(out)
 
 
 def _log_mask(mask: jax.Array) -> jax.Array:

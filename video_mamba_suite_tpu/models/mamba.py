@@ -190,6 +190,15 @@ class _MambaBase(nn.Module):
                                    # slower than two calls on v5e).
     dtype: Dtype = None            # compute dtype (bf16 policy)
     param_dtype: Dtype = jnp.float32
+    quant: bool = False            # w8a8 serving mode for in/out_proj
+                                   # (common.QuantDense; inference-only)
+
+    def _dense(self):
+        if self.quant:
+            from .common import QuantDense
+
+            return QuantDense
+        return nn.Dense
 
     @property
     def d_inner(self) -> int:
@@ -229,13 +238,14 @@ class MambaVim(_MambaBase):
 
     def setup(self):
         d_in = self.d_inner
-        self.in_proj = nn.Dense(
+        dense = self._dense()
+        self.in_proj = dense(
             2 * d_in, use_bias=self.bias, kernel_init=torch_linear_init,
             dtype=self.dtype, param_dtype=self.param_dtype, name="in_proj",
         )
         self.fwd = self._scan_params("fwd")
         self.bwd = self._scan_params("bwd")
-        self.out_proj = nn.Dense(
+        self.out_proj = dense(
             self.d_model, use_bias=self.bias, kernel_init=torch_linear_init,
             dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj",
         )

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import FusedMHA
+from .common import FusedMHA, make_dense
 from .mamba import MambaVim
 
 
@@ -27,10 +27,12 @@ class Mlp(nn.Module):
     out: int
     drop: float = 0.0
     dtype: Any = None   # compute dtype (bf16 policy); params stay fp32
+    quant: bool = False  # w8a8 serving mode (common.QuantDense)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = make_dense(self.hidden, quant=self.quant, dtype=self.dtype,
+                       name="fc1")(x)
         # exact-erf gelu (torch nn.GELU default, timemamba.py:52) in fp32;
         # under the bf16 policy the tanh form is used instead — its max
         # error (~1e-3·|x|) sits below one bf16 ulp (8e-3·|x|), i.e. the
@@ -39,7 +41,8 @@ class Mlp(nn.Module):
         # 12-layer spatial stack). fp32 paths (parity tests) stay exact.
         x = nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = make_dense(self.out, quant=self.quant, dtype=self.dtype,
+                       name="fc2")(x)
         return nn.Dropout(self.drop)(x, deterministic=deterministic)
 
 
@@ -61,6 +64,10 @@ class SpaceTimeBlock(nn.Module):
     is_tanh_gating: bool = False
     impl: str = "auto"
     dtype: Any = None
+    quant: Any = False   # w8a8 serving mode: True = all block projections,
+                         # "mlp" = MLP fc1/fc2 only (the only site where
+                         # int8 wins end-to-end at TimeMamba-B scale —
+                         # BASELINE.md round-3/4 serving notes)
 
     @nn.compact
     def __call__(self, cls, patches, deterministic: bool = True):
@@ -71,7 +78,8 @@ class SpaceTimeBlock(nn.Module):
         ht = patches.reshape(B * n, t, D)
         ht_n = nn.LayerNorm(dtype=self.dtype, name="norm3")(ht)
         time_out = MambaVim(d_model=D, expand=1, impl=self.impl,
-                            dtype=self.dtype, name="time_mamba")(ht_n)
+                            dtype=self.dtype, quant=self.quant is True,
+                            name="time_mamba")(ht_n)
         if self.is_tanh_gating:
             alpha = self.param("alpha_timeattn", nn.initializers.zeros, ())
             time_out = jnp.tanh(alpha) * time_out
@@ -86,6 +94,7 @@ class SpaceTimeBlock(nn.Module):
         xs = jnp.concatenate([cls_rep, xs], axis=1)      # (B·t, 1+n, D)
         xs_n = nn.LayerNorm(dtype=self.dtype, name="norm1")(xs)
         space_out = FusedMHA(num_heads=self.num_heads, dtype=self.dtype,
+                             quant=self.quant is True,
                              name="attn")(xs_n, deterministic=deterministic)
         cls_out = space_out[:, 0].reshape(B, t, D).mean(axis=1, keepdims=True)
         patch_out = space_out[:, 1:].reshape(B, t, n, D).transpose(0, 2, 1, 3)
@@ -95,7 +104,8 @@ class SpaceTimeBlock(nn.Module):
         patches = patches + patch_out
         norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
         mlp = Mlp(int(D * self.mlp_ratio), D, self.drop,
-                  dtype=self.dtype, name="mlp")
+                  dtype=self.dtype,
+                  quant=self.quant in (True, "mlp"), name="mlp")
         mlp_cls = mlp(norm2(cls), deterministic=deterministic)
         mlp_patch = mlp(norm2(patches), deterministic=deterministic)
         if deterministic or self.drop_path == 0.0:
@@ -129,6 +139,7 @@ class _BlockScanBody(nn.Module):
     impl: str
     deterministic: bool
     dtype: Any = None
+    quant: Any = False
     group: int = 1   # blocks per scan step (HLO is O(group); larger groups
                      # amortize the while-loop carry copies — profiled at
                      # ~4.5 ms/block of pure copy/add overhead at group=1)
@@ -142,7 +153,8 @@ class _BlockScanBody(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 drop=self.drop, drop_path=self.drop_path,
                 is_tanh_gating=self.is_tanh_gating, impl=self.impl,
-                dtype=self.dtype, name=f"block{gi}" if self.group > 1
+                dtype=self.dtype, quant=self.quant,
+                name=f"block{gi}" if self.group > 1
                 else "block",
             )(cls, patches, deterministic=self.deterministic)
         return (cls, patches), None
@@ -173,6 +185,14 @@ class TimeMamba(nn.Module):
                                     # trades HBM for a much cheaper recompute)
     dtype: Any = None               # compute dtype (e.g. jnp.bfloat16)
     impl: str = "auto"
+    quant: Any = False              # w8a8 int8 serving mode, inference-only;
+                                    # params & checkpoints unchanged.
+                                    # True: all block projections (qkv/out,
+                                    # MLP, Mamba in/out_proj). "mlp": MLP
+                                    # fc1/fc2 only — the measured net-win
+                                    # config (the smaller projections lose
+                                    # more to the per-token quantize pass
+                                    # than the int8 MXU saves).
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -227,7 +247,7 @@ class TimeMamba(nn.Module):
                 drop=self.drop_rate, drop_path=self.drop_path_rate,
                 is_tanh_gating=self.is_tanh_gating, impl=self.impl,
                 deterministic=deterministic, group=self.scan_group,
-                dtype=self.dtype, name="blocks",
+                dtype=self.dtype, quant=self.quant, name="blocks",
             )
             (cls_tokens, patches), _ = scanned((cls_tokens, patches), None)
         else:
@@ -238,7 +258,7 @@ class TimeMamba(nn.Module):
                     dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                     drop=self.drop_rate, drop_path=dpr[i],
                     is_tanh_gating=self.is_tanh_gating, impl=self.impl,
-                    dtype=self.dtype, name=f"block{i}",
+                    dtype=self.dtype, quant=self.quant, name=f"block{i}",
                 )(cls_tokens, patches, deterministic=deterministic)
 
         h = nn.LayerNorm(name="norm")(cls_tokens)[:, 0]  # cls at last (:377)
