@@ -70,14 +70,17 @@ def test_hl_trainer_learns_synthetic():
 
     train = [synth(i) for i in range(6)]
     val = [synth(50), synth(51)]
+    # lr 1e-3 / 60 epochs: verified mAP@5 = 1.0 across seeds 0-3 (the old
+    # 3e-4/30 recipe was undertrained — the foreground BCE sat in its lazy
+    # predict-high-everywhere regime and pass/fail depended on the init)
     tr = HlTrainer(txt_dim=4, vid_dim=Dv, embed_dim=32, depth=2,
-                   lr=3e-4, max_v_l=T, impl="ref")
+                   lr=1e-3, max_v_l=T, impl="ref")
     first = None
-    for _ in range(30):
+    for _ in range(60):
         stats = tr.train_epoch(train, batch_size=3)
         first = first if first is not None else stats["loss_total"]
     assert stats["loss_total"] < first
     m5 = tvsum_map_at_k(tr.predict_scores(val),
                         [v["anno"] for v in val], k=5)
-    assert m5 > 0.6  # planted segment found
+    assert m5 > 0.8  # planted segment found
     del rng

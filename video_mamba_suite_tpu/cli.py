@@ -60,6 +60,20 @@ def _opt(cfg, key, default):
     return cfg.get("opt", {}).get(key, default)
 
 
+_WATCHER = None  # PreemptionWatcher installed by main(); loops poll it
+
+
+def _ckpt_step(tr, ckpt, ep) -> bool:
+    """Per-epoch checkpoint + preemption poll. Saves when --ckpt is set
+    (every epoch, as before); returns True to stop the epoch loop when a
+    SIGTERM was latched (utils.PreemptionWatcher) — the checkpoint of the
+    finished epoch is then already on disk, so the next run's --resume
+    continues from it."""
+    if ckpt:
+        tr.save(ckpt, ep)
+    return _WATCHER is not None and _WATCHER.preempted
+
+
 def run_tas(cfg, epochs, synthetic, ckpt=None):
     from .tasks.tas import TasTrainer
     from .tasks.tas.data import TasBatchGenerator, collate, make_synthetic_dataset
@@ -93,8 +107,8 @@ def run_tas(cfg, epochs, synthetic, ckpt=None):
         for ep in range(epochs):
             stats = tr.train_epoch(gen, batch_size=bs, if_warp=True)
             print(f"epoch {ep}: {stats}", flush=True)
-            if ckpt:
-                tr.save(ckpt, ep)
+            if _ckpt_step(tr, ckpt, ep):
+                break
         if "test_vid_list" in d:
             test = TasBatchGenerator(nc, actions, d["gt_path"],
                                      d["features_path"])
@@ -127,6 +141,8 @@ def run_tas(cfg, epochs, synthetic, ckpt=None):
     for ep in range(epochs):
         stats = tr.train_epoch(g, batch_size=2)
         print(f"epoch {ep}: {stats}")
+        if _ckpt_step(tr, ckpt, ep):
+            break
     print("eval:", tr.evaluate(data))
 
 
@@ -177,8 +193,8 @@ def run_tal(cfg, epochs, synthetic, ckpt=None):
         for ep in range(epochs):
             stats = tr.train_epoch(items, batch_size=bs)
             print(f"epoch {ep}: {stats}", flush=True)
-            if ckpt:
-                tr.save(ckpt, ep)
+            if _ckpt_step(tr, ckpt, ep):
+                break
         val_items = [val_ds[i] for i in range(len(val_ds))]
         if val_items:
             mAP, avg = tr.evaluate(val_items)
@@ -194,6 +210,8 @@ def run_tal(cfg, epochs, synthetic, ckpt=None):
     for ep in range(epochs):
         stats = tr.train_epoch(items, batch_size=2)
         print(f"epoch {ep}: {stats}")
+        if _ckpt_step(tr, ckpt, ep):
+            break
     mAP, avg = tr.evaluate(items, tiou_thresholds=[0.3, 0.5], use_ema=False)
     print(f"mAP per tIoU: {mAP}, avg {avg:.3f}")
 
@@ -222,8 +240,8 @@ def run_vtg(cfg, epochs, synthetic, ckpt=None):
         for ep in range(epochs):
             stats = tr.train_epoch(samples, batch_size=bs)
             print(f"epoch {ep}: {stats}", flush=True)
-            if ckpt:
-                tr.save(ckpt, ep)
+            if _ckpt_step(tr, ckpt, ep):
+                break
         if "eval_jsonl" in d:
             eval_samples = load_file_dataset(
                 d["eval_jsonl"], d["v_feat_dirs"], d["q_feat_dir"],
@@ -239,6 +257,8 @@ def run_vtg(cfg, epochs, synthetic, ckpt=None):
     for ep in range(epochs):
         stats = tr.train_epoch(samples, batch_size=4)
         print(f"epoch {ep}: {stats}")
+        if _ckpt_step(tr, ckpt, ep):
+            break
     print("eval:", tr.evaluate(samples))
 
 
@@ -299,6 +319,8 @@ def run_vtg_hl(cfg, epochs, synthetic, ckpt=None):
     for ep in range(epochs):
         stats = tr.train_epoch(train, batch_size=bs)
         print(f"epoch {ep}: {stats}", flush=True)
+        if _ckpt_step(tr, ckpt, ep):
+            break
     scores = tr.predict_scores(val)
     m5 = tvsum_map_at_k(scores, [s["anno"] for s in val], k=5)
     print(f"eval: tvsum mAP@5 = {100 * m5:.2f}")
@@ -344,8 +366,8 @@ def run_captioning(cfg, epochs, synthetic, ckpt=None):
                 batch = [items[j] for j in order[i:i + bs]]
                 losses = tr.train_step(*collate_captioning(batch, max_seq))
             print(f"epoch {ep}: {losses}", flush=True)
-            if ckpt:
-                tr.save(ckpt, ep)
+            if _ckpt_step(tr, ckpt, ep):
+                break
         # eval on the training annotations (val json via --set
         # dataset.annotation_json on a second run)
         preds, gts = {}, {}
@@ -438,8 +460,8 @@ def run_anticipation(cfg, epochs, synthetic, ckpt=None):
             for vis, mot, tgt in ds.batches(bs):
                 loss = tr.train_step(vis, mot, tgt)
             print(f"epoch {ep}: loss {loss:.4f}", flush=True)
-            if ckpt:
-                tr.save(ckpt, ep)
+            if _ckpt_step(tr, ckpt, ep):
+                break
         return
 
     rng = np.random.default_rng(0)
@@ -509,8 +531,8 @@ def run_recognition(cfg, epochs, synthetic, ckpt=None):
                 labels = np.array([r["label"] for r in rows], np.int32)
                 loss = tr.train_step(videos, labels)
             print(f"epoch {ep}: loss {loss:.4f}", flush=True)
-            if ckpt:
-                tr.save(ckpt, ep)
+            if _ckpt_step(tr, ckpt, ep):
+                break
         return
 
     rng = np.random.default_rng(0)
@@ -530,6 +552,8 @@ def run_recognition(cfg, epochs, synthetic, ckpt=None):
         for i in range(0, n, 8):
             loss = tr.train_step(videos[i:i + 8], labels[i:i + 8])
         print(f"epoch {ep}: loss {loss:.4f}")
+        if _ckpt_step(tr, ckpt, ep):
+            break
     print("eval:", tr.evaluate(videos, labels))
 
 
@@ -582,8 +606,8 @@ def run_egocentric(cfg, epochs, synthetic, ckpt=None):
                     for r in rows])
                 loss = tr.train_step(videos, texts)
             print(f"epoch {ep}: loss {loss:.4f}", flush=True)
-            if ckpt:
-                tr.save(ckpt, ep)
+            if _ckpt_step(tr, ckpt, ep):
+                break
         return
 
     model = CLIP(
@@ -634,7 +658,15 @@ def main(argv=None):
 
     cfg = Config(PRESETS[args.preset]) if args.preset else Config()
     cfg = cfg.override(_parse_overrides(args.overrides))
-    TASKS[args.task](cfg, args.epochs, args.synthetic, ckpt=args.ckpt)
+
+    from .utils import PreemptionWatcher
+
+    global _WATCHER
+    with PreemptionWatcher() as _WATCHER:
+        try:
+            TASKS[args.task](cfg, args.epochs, args.synthetic, ckpt=args.ckpt)
+        finally:
+            _WATCHER = None
 
 
 if __name__ == "__main__":

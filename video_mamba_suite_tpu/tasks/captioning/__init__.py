@@ -18,6 +18,8 @@ from .metrics import (
     cider_d,
     rouge_l,
     evaluate_dvc,
+    evaluate_para,
+    rerank_predictions,
     soda_c,
 )
 from .train import CaptioningTrainer
@@ -31,6 +33,8 @@ __all__ = [
     "cider_d",
     "rouge_l",
     "evaluate_dvc",
+    "evaluate_para",
+    "rerank_predictions",
     "soda_c",
     "CaptioningTrainer",
 ]

@@ -142,6 +142,7 @@ class HlTrainer:
         self.tx = make_optimizer("adamw", lr=lr, weight_decay=weight_decay,
                                  grad_clip=grad_clip)
         self.rng = jax.random.PRNGKey(seed)
+        self._shuffle = np.random.default_rng(seed)  # owned, reproducible
         self.params = None
         self.opt_state = None
         self.core = TrainerCore(use_mesh=use_mesh)
@@ -183,7 +184,7 @@ class HlTrainer:
         self.opt_state = self.core.prepare(self.tx.init(self.params))
 
     def train_epoch(self, samples: List[dict], batch_size: int = 4) -> Dict:
-        order = np.random.permutation(len(samples))
+        order = self._shuffle.permutation(len(samples))
         losses = {}
         for i in range(0, len(samples), batch_size):
             batch = collate_hl([samples[j] for j in order[i:i + batch_size]],
@@ -195,6 +196,21 @@ class HlTrainer:
             self.params, self.opt_state, losses = self._step(
                 self.params, self.opt_state, k, batch)
         return {k_: float(v) for k_, v in losses.items()}
+
+    def state_dict(self) -> Dict:
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def save(self, directory: str, step: int):
+        self.core.save(directory, step, self.state_dict())
+
+    def restore(self, directory: str, samples: List[dict], step=None):
+        """Restore latest (or given) step; samples initialize shapes."""
+        if self.params is None:
+            self.init(collate_hl(samples[:1], self.max_v_l, self.txt_dim))
+        state = self.core.restore(directory, self.state_dict(), step)
+        if state is not None:
+            self.params = state["params"]
+            self.opt_state = state["opt_state"]
 
     def predict_scores(self, samples: List[dict]) -> List[np.ndarray]:
         """Per-video clip scores (eval_mode 'add': saliency + fg logit)."""

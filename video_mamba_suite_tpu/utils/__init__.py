@@ -8,9 +8,11 @@ from .schedules import make_schedule
 from .ema import EmaState, ema_init, ema_update
 from .meters import AverageMeter
 from .logging import MetricLogger
+from .preemption import PreemptionWatcher
 from .profiling import StepTimer, trace
 
 __all__ = [
+    "PreemptionWatcher",
     "Config",
     "load_config",
     "make_optimizer",
