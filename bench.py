@@ -162,7 +162,10 @@ def bench_train_step(batch: int = 8, frames: int = 16, size: int = 224,
     model = TimeMamba(
         img_size=size, patch_size=16, embed_dim=768, depth=12, num_heads=12,
         num_frames=frames, ln_pre=True, output_dim=512, impl="pallas",
-        scan_blocks=True, remat=True, dtype=jnp.bfloat16,
+        scan_blocks=True, remat=True, remat_policy="save_scan",
+        dtype=jnp.bfloat16,  # save_scan: keep scan outputs across the remat
+        # boundary (0.46 GB) so the bwd skips the fwd-scan recompute —
+        # measured 371 → 356 ms/step vs whole-block remat (round 4)
     )
     x = jax.random.normal(
         jax.random.PRNGKey(0), (batch, frames, size, size, 3), jnp.bfloat16)

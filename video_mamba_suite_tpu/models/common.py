@@ -336,6 +336,12 @@ class FusedMHA(nn.Module):
             scores = jnp.where(jdx <= idx, scores, jnp.asarray(
                 -1e30, scores.dtype))
         w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        # named for targeted remat (save_only_these_names): keeping the
+        # softmax weights across the remat boundary skips the qk-scores +
+        # softmax recompute in the bwd at ~119 MB/layer of HBM
+        from jax.ad_checkpoint import checkpoint_name
+
+        w = checkpoint_name(w, "attn_weights")
         out = jnp.einsum("...hqk,...khd->...qhd", w, v)
         out = out.reshape(out.shape[:-2] + (D,))
         return make_dense(D, quant=self.quant, dtype=self.dtype,

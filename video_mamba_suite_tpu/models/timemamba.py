@@ -232,8 +232,23 @@ class TimeMamba(nn.Module):
         if self.scan_blocks:
             assert self.depth % self.scan_group == 0, "scan_group ∤ depth"
             if self.remat:
-                policy = (getattr(jax.checkpoint_policies, self.remat_policy)
-                          if self.remat_policy else None)
+                if self.remat_policy == "save_scan":
+                    # targeted: keep ONLY the Pallas scan outputs across the
+                    # remat boundary (12 × 38.5 MB ≈ 0.46 GB ≈ 1 ms of HBM)
+                    # so the bwd skips re-running the fwd scan kernels
+                    # (~22 ms/step) — the coarse dots_saveable policy stores
+                    # GBs of matmul outputs and measured slower (r3_exp8)
+                    policy = jax.checkpoint_policies.save_only_these_names(
+                        "mamba_scan_out")
+                elif self.remat_policy == "save_scan_attn":
+                    # + the attention softmax weights (119 MB/layer)
+                    policy = jax.checkpoint_policies.save_only_these_names(
+                        "mamba_scan_out", "attn_weights")
+                elif self.remat_policy:
+                    policy = getattr(jax.checkpoint_policies,
+                                     self.remat_policy)
+                else:
+                    policy = None
                 body = nn.remat(_BlockScanBody, policy=policy)
             else:
                 body = _BlockScanBody

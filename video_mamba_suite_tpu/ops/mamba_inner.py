@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .causal_conv1d import causal_conv1d
 from .selective_scan import selective_scan
@@ -87,6 +88,10 @@ def mamba_inner(
         x, dt, A, B, C, D=D, z=z,
         delta_bias=delta_bias, delta_softplus=delta_softplus, impl=impl,
     )
+    # named for targeted remat: save_only_these_names("mamba_scan_out")
+    # keeps the scan output across the remat boundary so the bwd pass
+    # skips re-running the fwd scan kernel (inert without that policy)
+    y = checkpoint_name(y, "mamba_scan_out")
     if out_proj_weight is not None:
         y = jnp.dot(y, out_proj_weight.astype(y.dtype))
         if out_proj_bias is not None:
@@ -164,12 +169,14 @@ def mamba_inner_bidir(
                                      d_state, mask)
         dt_b, B_b, C_b = _proj_dt_bc(xb, bwd["x_proj"], bwd["dt_proj"],
                                      d_state, mask)
-        return selective_scan_pallas_bidir(
+        out_f, out_b = selective_scan_pallas_bidir(
             xf, dt_f, A_fwd, B_f, C_f, xb, dt_b, A_bwd, B_b, C_b,
             Df=fwd["D"], zf=z, biasf=fwd["dt_bias"],
             Db=bwd["D"], zb=zb_raw, biasb=bwd["dt_bias"],
             delta_softplus=True,
         )
+        return (checkpoint_name(out_f, "mamba_scan_out"),
+                checkpoint_name(out_b, "mamba_scan_out"))
 
     x_b = jnp.flip(xb_raw, axis=1)
     z_b = jnp.flip(zb_raw, axis=1)
@@ -194,6 +201,7 @@ def mamba_inner_bidir(
         u2, dt2, A2, B2, C2, D=D2, z=z2, delta_bias=bias2,
         delta_softplus=True, impl=impl,
     )
+    y2 = checkpoint_name(y2, "mamba_scan_out")
     out_f = y2[..., :d_inner]
     out_b = jnp.flip(y2[..., d_inner:], axis=1)
     return out_f, out_b
