@@ -45,7 +45,8 @@ def bench_clip_pretrain(batch=8, frames=16, size=224, ctx=77):
         embed_dim=512, vision_tower="timemamba",
         vision_cfg=dict(img_size=size, patch_size=16, embed_dim=768, depth=12,
                         num_heads=12, num_frames=frames, ln_pre=True,
-                        scan_blocks=True, remat=True, dtype=jnp.bfloat16,
+                        scan_blocks=True, remat=True,
+                        remat_policy="save_scan", dtype=jnp.bfloat16,
                         impl="pallas"),
         text_cfg=dict(context_length=ctx, vocab_size=49408, width=512,
                       heads=8, layers=12),
