@@ -280,13 +280,14 @@ class MambaDBM(_MambaBase):
     """
 
     def setup(self):
+        dense = self._dense()
         d_in = self.d_inner
-        self.in_proj = nn.Dense(
+        self.in_proj = dense(
             4 * d_in, use_bias=self.bias, kernel_init=torch_linear_init,
             dtype=self.dtype, param_dtype=self.param_dtype, name="in_proj",
         )
         self.shared = self._scan_params("shared")
-        self.out_proj = nn.Dense(
+        self.out_proj = dense(
             self.d_model, use_bias=self.bias, kernel_init=torch_linear_init,
             dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj",
         )
@@ -317,8 +318,9 @@ class MambaScanNorm(_MambaBase):
     (mamba_simple_scan_norm.py:263-292) instead of the /2."""
 
     def setup(self):
+        dense = self._dense()
         d_in = self.d_inner
-        self.in_proj = nn.Dense(
+        self.in_proj = dense(
             2 * d_in, use_bias=self.bias, kernel_init=torch_linear_init,
             dtype=self.dtype, param_dtype=self.param_dtype, name="in_proj",
         )
@@ -327,7 +329,7 @@ class MambaScanNorm(_MambaBase):
         self.scan_norm_w = self.param(
             "scan_norm_w", nn.initializers.ones, (d_in,), jnp.float32
         )
-        self.out_proj = nn.Dense(
+        self.out_proj = dense(
             self.d_model, use_bias=self.bias, kernel_init=torch_linear_init,
             dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj",
         )
@@ -352,13 +354,14 @@ class MambaCausal(_MambaBase):
     """
 
     def setup(self):
+        dense = self._dense()
         d_in = self.d_inner
-        self.in_proj = nn.Dense(
+        self.in_proj = dense(
             2 * d_in, use_bias=self.bias, kernel_init=torch_linear_init,
             dtype=self.dtype, param_dtype=self.param_dtype, name="in_proj",
         )
         self.fwd = self._scan_params("fwd")
-        self.out_proj = nn.Dense(
+        self.out_proj = dense(
             self.d_model, use_bias=self.bias, kernel_init=torch_linear_init,
             dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj",
         )
