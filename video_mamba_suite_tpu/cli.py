@@ -74,6 +74,24 @@ def _ckpt_step(tr, ckpt, ep) -> bool:
     return _WATCHER is not None and _WATCHER.preempted
 
 
+def _maybe_resume(ckpt, restore_fn) -> int:
+    """--ckpt resume: restore the latest checkpoint when the directory has
+    one. `restore_fn` must invoke the trainer's restore (which lazily
+    initializes parameters from the sample args) and return the restored
+    step, or None when nothing was found. Returns the epoch to start from —
+    together with the preemption watcher this closes the loop: SIGTERM
+    checkpoints the in-flight epoch, the rerun continues after it."""
+    import os
+
+    if not ckpt or not os.path.isdir(ckpt):
+        return 0
+    last = restore_fn()
+    if last is None:
+        return 0
+    print(f"[resume] restored epoch {last} from {ckpt}", flush=True)
+    return int(last) + 1
+
+
 def run_tas(cfg, epochs, synthetic, ckpt=None):
     from .tasks.tas import TasTrainer
     from .tasks.tas.data import TasBatchGenerator, collate, make_synthetic_dataset
@@ -104,7 +122,10 @@ def run_tas(cfg, epochs, synthetic, ckpt=None):
             mixer=m.get("mixer", "vim"),
         )
         bs = cfg.get("loader", {}).get("batch_size", 1)
-        for ep in range(epochs):
+        f0, _, m0 = collate([gen._load_one(gen.list_of_examples[0])],
+                            pad_to=16)
+        start = _maybe_resume(ckpt, lambda: tr.restore(ckpt, f0, m0))
+        for ep in range(start, epochs):
             stats = tr.train_epoch(gen, batch_size=bs, if_warp=True)
             print(f"epoch {ep}: {stats}", flush=True)
             if _ckpt_step(tr, ckpt, ep):
@@ -138,7 +159,9 @@ def run_tas(cfg, epochs, synthetic, ckpt=None):
             s.i = 0
 
     g = Gen()
-    for ep in range(epochs):
+    f0, _, m0 = collate(data[:1], pad_to=16)
+    start = _maybe_resume(ckpt, lambda: tr.restore(ckpt, f0, m0))
+    for ep in range(start, epochs):
         stats = tr.train_epoch(g, batch_size=2)
         print(f"epoch {ep}: {stats}")
         if _ckpt_step(tr, ckpt, ep):
@@ -190,7 +213,12 @@ def run_tal(cfg, epochs, synthetic, ckpt=None):
             test_cfg=cfg.get("test_cfg", {}).to_dict()
             if hasattr(cfg.get("test_cfg", {}), "to_dict") else None,
         )
-        for ep in range(epochs):
+        from .tasks.tal.data import collate_tal
+
+        b0 = collate_tal(items[:1], d.get("max_seq_len", 2304),
+                         getattr(tr, "max_num_gt", 64), training=False)
+        start = _maybe_resume(ckpt, lambda: tr.restore(ckpt, b0[0], b0[1]))
+        for ep in range(start, epochs):
             stats = tr.train_epoch(items, batch_size=bs)
             print(f"epoch {ep}: {stats}", flush=True)
             if _ckpt_step(tr, ckpt, ep):
@@ -237,7 +265,12 @@ def run_vtg(cfg, epochs, synthetic, ckpt=None):
             max_q_l=d.get("max_q_l", 32), max_v_l=d.get("max_v_l", 75),
         )
         bs = cfg.get("loader", {}).get("batch_size", 32)
-        for ep in range(epochs):
+        from .tasks.vtg.data import collate_vtg
+
+        b0 = collate_vtg(samples[:1], d.get("max_q_l", 32),
+                         d.get("max_v_l", 75))
+        start = _maybe_resume(ckpt, lambda: tr.restore(ckpt, b0))
+        for ep in range(start, epochs):
             stats = tr.train_epoch(samples, batch_size=bs)
             print(f"epoch {ep}: {stats}", flush=True)
             if _ckpt_step(tr, ckpt, ep):
@@ -254,7 +287,11 @@ def run_vtg(cfg, epochs, synthetic, ckpt=None):
                                  vid_dim=12)
     tr = VtgTrainer(txt_dim=12, vid_dim=12, embed_dim=32, depth=2,
                     lr=5e-4, max_q_l=6, max_v_l=32, input_dropout=0.0)
-    for ep in range(epochs):
+    from .tasks.vtg.data import collate_vtg
+
+    start = _maybe_resume(ckpt, lambda: tr.restore(
+        ckpt, collate_vtg(samples[:1], 6, 32)))
+    for ep in range(start, epochs):
         stats = tr.train_epoch(samples, batch_size=4)
         print(f"epoch {ep}: {stats}")
         if _ckpt_step(tr, ckpt, ep):
@@ -316,7 +353,9 @@ def run_vtg_hl(cfg, epochs, synthetic, ckpt=None):
         max_v_l=m.get("max_v_l", 128),
     )
     bs = cfg.get("loader", {}).get("batch_size", 4)
-    for ep in range(epochs):
+    start = _maybe_resume(ckpt, lambda: (tr.restore(ckpt, train),
+                                         tr.core.latest_step(ckpt))[1])
+    for ep in range(start, epochs):
         stats = tr.train_epoch(train, batch_size=bs)
         print(f"epoch {ep}: {stats}", flush=True)
         if _ckpt_step(tr, ckpt, ep):
@@ -360,7 +399,9 @@ def run_captioning(cfg, epochs, synthetic, ckpt=None):
         bs = cfg.get("loader", {}).get("batch_size", 1)
         import numpy as _np
 
-        for ep in range(epochs):
+        f0, m0, *_ = collate_captioning(items[:1], max_seq)
+        start = _maybe_resume(ckpt, lambda: tr.restore(ckpt, f0, m0))
+        for ep in range(start, epochs):
             order = _np.random.permutation(len(items))
             for i in range(0, len(items) - bs + 1, bs):
                 batch = [items[j] for j in order[i:i + bs]]
@@ -456,7 +497,9 @@ def run_anticipation(cfg, epochs, synthetic, ckpt=None):
         )
         tr = AnticipationTrainer(model, lr=_opt(cfg, "learning_rate", 7e-5))
         bs = cfg.get("loader", {}).get("batch_size", 16)
-        for ep in range(epochs):
+        start = _maybe_resume(ckpt, lambda: tr.restore(
+            ckpt, vis0[None], mot0[None]))
+        for ep in range(start, epochs):
             for vis, mot, tgt in ds.batches(bs):
                 loss = tr.train_step(vis, mot, tgt)
             print(f"epoch {ep}: loss {loss:.4f}", flush=True)
@@ -516,7 +559,9 @@ def run_recognition(cfg, epochs, synthetic, ckpt=None):
         aug_fn = make_train_augment(cfg.get("aug", {}))
         bs = cfg.get("loader", {}).get("batch_size", 8)
         rng = np.random.default_rng(0)
-        for ep in range(epochs):
+        start = _maybe_resume(ckpt, lambda: tr.restore(ckpt, np.stack(
+            [ds[0]["frames"][0].astype(np.float32) / 255.0])))
+        for ep in range(start, epochs):
             order = rng.permutation(len(ds))
             for i in range(0, len(ds) - bs + 1, bs):
                 rows = [ds[j] for j in order[i:i + bs]]
@@ -548,7 +593,8 @@ def run_recognition(cfg, epochs, synthetic, ckpt=None):
                   embed_dim=32, num_classes=3, drop_path_rate=0.0)
     tr = RecognitionTrainer(model, num_classes=3, lr=2e-3, mixup_alpha=0.0,
                             cutmix_alpha=0.0, smoothing=0.0)
-    for ep in range(epochs):
+    start = _maybe_resume(ckpt, lambda: tr.restore(ckpt, videos[:1]))
+    for ep in range(start, epochs):
         for i in range(0, n, 8):
             loss = tr.train_step(videos[i:i + 8], labels[i:i + 8])
         print(f"epoch {ep}: loss {loss:.4f}")
@@ -595,7 +641,11 @@ def run_egocentric(cfg, epochs, synthetic, ckpt=None):
         tr = ClipPretrainer(model, lr=_opt(cfg, "learning_rate", 3e-5))
         bs = cfg.get("loader", {}).get("batch_size", 8)
         rng = np.random.default_rng(0)
-        for ep in range(epochs):
+        r0 = ds[0]
+        start = _maybe_resume(ckpt, lambda: tr.restore(
+            ckpt, np.stack([r0["frames"].astype(np.float32) / 255.0]),
+            np.stack([np.asarray(tok([r0["caption"]])[0], np.int64)])))
+        for ep in range(start, epochs):
             order = rng.permutation(len(ds))
             for i in range(0, len(ds) - bs + 1, bs):
                 rows = [ds[j] for j in order[i:i + bs]]
