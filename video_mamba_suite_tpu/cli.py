@@ -546,7 +546,8 @@ def run_recognition(cfg, epochs, synthetic, ckpt=None):
         model = ViViM(img_size=size, patch_size=16,
                       num_frames=m.get("num_frames", 16),
                       depth=m.get("depth", 24),
-                      embed_dim=m.get("embed_dim", 192), num_classes=nc)
+                      embed_dim=m.get("embed_dim", 192), num_classes=nc,
+                      mixer=m.get("mixer", "vim"))
         tr = RecognitionTrainer(
             model, num_classes=nc, lr=_opt(cfg, "learning_rate", 1e-3),
             mixup_alpha=cfg.get("aug", {}).get("mixup", 0.8),

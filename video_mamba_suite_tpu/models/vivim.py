@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..ops import fused_add_norm
 from .common import DropPath
-from .mamba import MambaVim
+from .mamba import MambaVim, MambaScanNorm
 
 
 class _ViViMScanBody(nn.Module):
@@ -38,6 +38,7 @@ class _ViViMScanBody(nn.Module):
     impl: str
     drop_path: float
     deterministic: bool
+    mixer: str = "vim"   # "vim" | "scan_norm" (vivim_scan_norm.py variants)
 
     @nn.compact
     def __call__(self, carry, _):
@@ -54,7 +55,8 @@ class _ViViMScanBody(nn.Module):
             h_in, w, b, residual=residual, prenorm=True,
             eps=self.norm_eps, is_rms_norm=self.rms_norm,
         )
-        out = MambaVim(
+        cls = MambaScanNorm if self.mixer == "scan_norm" else MambaVim
+        out = cls(
             d_model=self.embed_dim, if_devide_out=self.if_devide_out,
             impl=self.impl, name="mixer",
         )(h)
@@ -95,6 +97,11 @@ class ViViM(nn.Module):
     norm_eps: float = 1e-5
     if_devide_out: bool = True
     if_bidirectional: bool = False  # interleaved fwd/bwd layer pairs
+    mixer: str = "vim"              # "vim" | "scan_norm" — the reference's
+                                    # vivim_{tiny,small}_scan_norm variants
+                                    # (action-recognition/models/
+                                    # vivim_scan_norm.py:503-545) use the
+                                    # RMSNorm(d_inner)-before-out_proj mixer
     scan_blocks: bool = False       # compile one block, loop depth times
     remat: bool = False             # rematerialize blocks under scan (grad
                                     # checkpointing; required to get the
@@ -158,7 +165,8 @@ class ViViM(nn.Module):
             )
             if flip:
                 h = jnp.flip(h, axis=1)
-            out = MambaVim(
+            mcls = MambaScanNorm if self.mixer == "scan_norm" else MambaVim
+            out = mcls(
                 d_model=self.embed_dim, if_devide_out=self.if_devide_out,
                 impl=self.impl, name=f"mixer{i}",
             )(h)
@@ -186,7 +194,8 @@ class ViViM(nn.Module):
                 embed_dim=self.embed_dim, rms_norm=self.rms_norm,
                 norm_eps=self.norm_eps, if_devide_out=self.if_devide_out,
                 impl=self.impl, drop_path=self.drop_path_rate,
-                deterministic=deterministic, name="blocks",
+                deterministic=deterministic, mixer=self.mixer,
+                name="blocks",
             )
             (hidden, residual), _ = scanned(
                 (hidden, jnp.zeros_like(hidden, jnp.float32)), None
