@@ -121,3 +121,23 @@ def test_fused_bidir_matches_unfused(cls):
     y2 = unfused.apply(params, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_vivim_scan_norm_mixer_variant():
+    """vivim_{tiny,small}_scan_norm registry parity
+    (action-recognition/models/vivim_scan_norm.py:503-545): the mixer
+    option swaps MambaVim for MambaScanNorm in both block paths."""
+    from video_mamba_suite_tpu.models.vivim import ViViM
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 32, 3))
+    outs = []
+    for scan in (False, True):
+        m = ViViM(img_size=32, patch_size=16, num_frames=2, depth=2,
+                  embed_dim=32, num_classes=5, mixer="scan_norm",
+                  scan_blocks=scan, impl="ref", drop_path_rate=0.0)
+        p = m.init({"params": jax.random.PRNGKey(1)}, x)
+        assert "scan_norm_w" in str(jax.tree_util.tree_structure(p)) or \
+            any("scan_norm_w" in "/".join(map(str, path))
+                for path, _ in jax.tree_util.tree_flatten_with_path(p)[0])
+        outs.append(m.apply(p, x))
+    assert outs[0].shape == outs[1].shape == (1, 5)
