@@ -140,3 +140,47 @@ def test_pdvc_end_to_end_trains():
     # decode produces events
     events = trainer.predict(feats, mask, duration=float(T))
     assert len(events) == B and len(events[0]) > 0
+
+
+def test_dsa_caption_head_standard():
+    """The published configs' caption_decoder_type 'standard' = LSTM-DSA
+    (cfgs/anet_c3d_pdvc.yml:4, CaptioningHead/LSTM_DSA.py:189-336): per
+    decode step deformable sampling around the event box + additive
+    attention pooling conditioned on the LSTM state."""
+    import numpy as np
+
+    from video_mamba_suite_tpu.tasks.captioning.model import (
+        PDVC,
+        pdvc_level_shapes,
+    )
+    from video_mamba_suite_tpu.tasks.captioning.train import CaptioningTrainer
+
+    assert pdvc_level_shapes(64, 3) == (64, 32, 16)
+    assert pdvc_level_shapes(7, 3) == (7, 4, 2)
+
+    rng = np.random.default_rng(0)
+    B, T, C = 2, 32, 8
+    model = PDVC(input_dim=C, num_classes=1, vocab_size=11, num_queries=4,
+                 d_model=16, n_levels=2, num_encoder_layers=1,
+                 num_decoder_layers=1, max_caption_len=4,
+                 caption_decoder_type="standard", impl="ref")
+    tr = CaptioningTrainer(model, lr=1e-3)
+    feats = 0.2 * rng.standard_normal((B, T, C)).astype(np.float32)
+    gt_boxes = np.tile(np.array([[0.5, 0.4]], np.float32), (B, 2, 1))
+    gt_labels = np.zeros((B, 2), np.int32)
+    gt_valid = np.ones((B, 2), bool)
+    captions = np.tile(np.array([[0, 3, 4, 0]], np.int64), (B, 2, 1))
+    mask = np.ones((B, T), np.float32)
+
+    first = None
+    for _ in range(8):
+        losses = tr.train_step(feats, mask, gt_boxes, gt_labels, gt_valid,
+                               captions)
+        first = first if first is not None else float(losses["loss_total"])
+    assert float(losses["loss_total"]) < first  # it learns
+    events = tr.predict(feats, mask, duration=float(T), topk=2)
+    assert len(events) == B and "sentence" in events[0][0]
+    # param tree includes the DSA-specific projections
+    flat = str(jax.tree_util.tree_structure(tr.params))
+    for name in ("sampling_offsets", "value_proj", "alpha_net"):
+        assert name in flat, name

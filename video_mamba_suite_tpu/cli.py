@@ -394,6 +394,7 @@ def run_captioning(cfg, epochs, synthetic, ckpt=None):
             num_encoder_layers=m.get("num_encoder_layers", 2),
             num_decoder_layers=m.get("num_decoder_layers", 6),
             max_caption_len=d.get("max_caption_len", 20),
+            caption_decoder_type=m.get("caption_decoder_type", "light"),
         )
         tr = CaptioningTrainer(model, lr=_opt(cfg, "learning_rate", 5e-5))
         bs = cfg.get("loader", {}).get("batch_size", 1)

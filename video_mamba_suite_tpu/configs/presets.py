@@ -74,7 +74,10 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         model=dict(d_model=512, num_queries=10, n_levels=4,
                    num_encoder_layers=2, num_decoder_layers=2,
                    max_eseq_length=10, max_caption_len=30, mixer="vim",
-                   input_dim=500, num_classes=1),
+                   input_dim=500, num_classes=1,
+                   # the published recipe's LSTM-DSA head
+                   # (anet_c3d_pdvc.yml:4 caption_decoder_type: standard)
+                   caption_decoder_type="standard"),
         opt=dict(learning_rate=5e-5, weight_decay=1e-4, epochs=30,
                  grad_clip=0.1),
         loader=dict(batch_size=1),

@@ -246,6 +246,129 @@ class LSTMCaptioner(nn.Module):
         return jnp.stack(toks, axis=1), jnp.stack(lps, axis=1)
 
 
+def pdvc_level_shapes(T: int, n_levels: int):
+    """Static per-level temporal lengths of PDVC._features' stride-2 conv
+    pyramid (nn.Conv SAME: out = ceil(in/2))."""
+    shapes = [T]
+    for _ in range(n_levels - 1):
+        shapes.append(-(-shapes[-1] // 2))
+    return tuple(shapes)
+
+
+class DSACaptioner(nn.Module):
+    """LSTM-DSA caption head — the published configs' `caption_decoder_type:
+    standard` (cfgs/anet_c3d_pdvc.yml:4; CaptioningHead/LSTM_DSA.py:189-336).
+
+    Per decode step: [h; query] predicts per-head deformable sampling
+    offsets around the event's (center, length) reference box; the
+    n_levels·n_points clip features sampled from the encoder memory are
+    pooled by additive (Bahdanau) attention conditioned on h (LSTM_DSA.py
+    :246-259 ctx2att/h2att/alpha_net), and [word; pooled; query] feeds the
+    LSTM (:261-263, wordRNN_input_feats_type 'EC')."""
+
+    vocab_size: int
+    d_model: int = 256
+    word_dim: int = 256
+    rnn_size: int = 512
+    att_hid: int = 512
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    max_caption_len: int = 20
+
+    def setup(self):
+        H, L, P = self.n_heads, self.n_levels, self.n_points
+
+        def offset_bias_init(key, shape, dtype=jnp.float32):
+            # alternating ±(i+1) directions (ms_deform_attn.py:63-71, 1-D)
+            thetas = jnp.arange(H, dtype=jnp.float32) * (2 * math.pi / H)
+            grid = jnp.cos(thetas)
+            grid = grid / jnp.max(jnp.abs(grid))
+            grid = jnp.tile(grid[:, None, None], (1, L, P))
+            grid = grid * (jnp.arange(1, P + 1, dtype=jnp.float32))[None, None]
+            return grid.reshape(-1).astype(dtype)
+
+        self.word_embed = nn.Embed(self.vocab_size, self.word_dim)
+        self.cell = nn.OptimizedLSTMCell(self.rnn_size)
+        self.logit = nn.Dense(self.vocab_size)
+        self.value_proj = nn.Dense(self.d_model, name="value_proj")
+        self.offset_proj = nn.Dense(
+            H * L * P, kernel_init=nn.initializers.zeros,
+            bias_init=offset_bias_init, name="sampling_offsets")
+        self.ctx2att = nn.Dense(self.att_hid)
+        self.h2att = nn.Dense(self.att_hid)
+        self.alpha_net = nn.Dense(1)
+
+    def _pool(self, h, query, refs, value, shapes):
+        """Deformable sample + additive attention → (N, d_model).
+        h (N, R); query (N, C); refs (N, 2) (center, length) in [0, 1];
+        value (N, S, H, dh) projected memory; shapes static lengths."""
+        from ...ops.deform_attn import _linear_sample_1d
+
+        N = query.shape[0]
+        H, L, P = self.n_heads, self.n_levels, self.n_points
+        dh = self.d_model // H
+        joint = jnp.concatenate([h, query], axis=-1)
+        offsets = self.offset_proj(joint).reshape(N, H, L, P)
+        # points spread across the event span (deform_attn.py box form)
+        loc = (refs[:, None, None, None, 0]
+               + offsets / P * refs[:, None, None, None, 1] * 0.5)
+        start = 0
+        sampled = []
+        for l, T in enumerate(shapes):
+            v = value[:, start : start + T]                  # (N, T, H, dh)
+            v = v.transpose(0, 2, 1, 3).reshape(N * H, T, dh)
+            s = _linear_sample_1d(v, loc[:, :, l].reshape(N * H, 1, P))
+            sampled.append(s.reshape(N, H, P, dh))
+            start += T
+        sampled = jnp.concatenate(sampled, axis=2)           # (N, H, L·P, dh)
+        att = jnp.tanh(self.ctx2att(sampled)
+                       + self.h2att(h)[:, None, None])
+        w = jax.nn.softmax(self.alpha_net(att)[..., 0], axis=-1)
+        pooled = jnp.sum(sampled * w[..., None], axis=2)     # (N, H, dh)
+        return pooled.reshape(N, self.d_model)
+
+    def _value(self, memory):
+        N, S, _ = memory.shape
+        H = self.n_heads
+        return self.value_proj(memory).reshape(N, S, H, self.d_model // H)
+
+    def __call__(self, query_feats, captions, refs, memory, shapes):
+        """Teacher-forced logits. query_feats (N, C); captions (N, Lc);
+        refs (N, 2); memory (N, S, C) per-event encoder memory rows;
+        shapes: static per-level lengths (pdvc_level_shapes)."""
+        N, Lc = captions.shape
+        value = self._value(memory)
+        carry = (jnp.zeros((N, self.rnn_size)), jnp.zeros((N, self.rnn_size)))
+        words = self.word_embed(captions)
+        outs = []
+        for t in range(Lc):
+            pooled = self._pool(carry[1], query_feats, refs, value, shapes)
+            inp = jnp.concatenate([words[:, t], pooled, query_feats], -1)
+            carry, out = self.cell(carry, inp)
+            outs.append(out)
+        return self.logit(jnp.stack(outs, axis=1))
+
+    def decode_greedy(self, query_feats, refs, memory, shapes,
+                      bos: int = 0):
+        N = query_feats.shape[0]
+        value = self._value(memory)
+        carry = (jnp.zeros((N, self.rnn_size)), jnp.zeros((N, self.rnn_size)))
+        tok = jnp.full((N,), bos, jnp.int32)
+        toks, lps = [], []
+        for _ in range(self.max_caption_len):
+            pooled = self._pool(carry[1], query_feats, refs, value, shapes)
+            inp = jnp.concatenate([self.word_embed(tok), pooled,
+                                   query_feats], -1)
+            carry, out = self.cell(carry, inp)
+            logits = self.logit(out)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lps.append(jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0])
+            toks.append(tok)
+        return jnp.stack(toks, axis=1), jnp.stack(lps, axis=1)
+
+
 class PDVC(nn.Module):
     """Meta-arch (pdvc.py:34-230): multi-scale conv features → transformer →
     per-layer class/count/box heads + caption head on the last layer."""
@@ -262,6 +385,9 @@ class PDVC(nn.Module):
     max_caption_len: int = 20
     mixer: str = "vim"
     impl: str = "auto"
+    caption_decoder_type: str = "light"  # 'light' = plain LSTM head
+                                         # (anet_c3d_pdvcl.yml); 'standard' =
+                                         # LSTM-DSA (anet_c3d_pdvc.yml:4)
 
     def setup(self):
         self.input_projs = [
@@ -292,10 +418,17 @@ class PDVC(nn.Module):
         )
         self.count_head = nn.Dense(self.max_eseq_length + 1, name="count_head")
         self.bbox_head = BoxMLP(self.d_model, name="bbox_head")
-        self.caption_head = LSTMCaptioner(
-            vocab_size=self.vocab_size, d_model=self.d_model,
-            max_caption_len=self.max_caption_len, name="caption_head",
-        )
+        if self.caption_decoder_type == "standard":
+            self.caption_head = DSACaptioner(
+                vocab_size=self.vocab_size, d_model=self.d_model,
+                n_levels=self.n_levels,
+                max_caption_len=self.max_caption_len, name="caption_head",
+            )
+        else:
+            self.caption_head = LSTMCaptioner(
+                vocab_size=self.vocab_size, d_model=self.d_model,
+                max_caption_len=self.max_caption_len, name="caption_head",
+            )
 
     def _features(self, feats, mask, deterministic):
         """Build n_levels multi-scale token pyramids + sinusoid positions."""
@@ -337,11 +470,21 @@ class PDVC(nn.Module):
         out = outs[-1]
         out["aux_outputs"] = outs[:-1]
         out["query_feats"] = hs[-1]
-        return out
+        out["memory"] = memory          # (B, ΣT_l, C) — the DSA caption
+        return out                      # head samples from it per step
 
-    def caption_logits(self, query_feats, captions):
+    def level_shapes(self, T: int):
+        return pdvc_level_shapes(T, self.n_levels)
+
+    def caption_logits(self, query_feats, captions, refs=None, memory=None,
+                       shapes=None):
         """Teacher-forced caption logits for matched queries.
-        query_feats (N, C), captions (N, L)."""
+        query_feats (N, C), captions (N, L); for the 'standard' (DSA) head
+        also refs (N, 2), per-event memory rows (N, S, C) and the static
+        level shapes."""
+        if self.caption_decoder_type == "standard":
+            return self.caption_head(query_feats, captions, refs, memory,
+                                     shapes)
         return self.caption_head(query_feats, captions)
 
     def init_all(self, feats, mask):
@@ -350,8 +493,19 @@ class PDVC(nn.Module):
         out = self(feats, mask)
         qf = out["query_feats"].reshape(-1, self.d_model)
         dummy = jnp.zeros((qf.shape[0], 2), jnp.int32)
-        self.caption_head(qf, dummy)
+        if self.caption_decoder_type == "standard":
+            B, Q = out["query_feats"].shape[:2]
+            refs = out["pred_boxes"].reshape(B * Q, 2)
+            mem = jnp.repeat(out["memory"], Q, axis=0)
+            self.caption_head(qf, dummy, refs, mem,
+                              self.level_shapes(feats.shape[1]))
+        else:
+            self.caption_head(qf, dummy)
         return out
 
-    def caption_greedy(self, query_feats):
+    def caption_greedy(self, query_feats, refs=None, memory=None,
+                       shapes=None):
+        if self.caption_decoder_type == "standard":
+            return self.caption_head.decode_greedy(query_feats, refs, memory,
+                                                   shapes)
         return self.caption_head.decode_greedy(query_feats)

@@ -61,9 +61,18 @@ class CaptioningTrainer:
                 qf = jax.vmap(lambda h, i: h[i])(out["query_feats"], safe_idx)
                 B, G, L = captions.shape
                 cap_in = jnp.where(captions == -100, 0, captions)
+                cap_kw = {}
+                if model_.caption_decoder_type == "standard":
+                    boxes = jax.vmap(lambda b, i: b[i])(out["pred_boxes"],
+                                                        safe_idx)
+                    cap_kw = dict(
+                        refs=boxes.reshape(B * G, 2),
+                        memory=jnp.repeat(out["memory"], G, axis=0),
+                        shapes=model_.level_shapes(feats.shape[1]),
+                    )
                 cap_logits = model_.apply(
                     p, qf.reshape(B * G, -1), cap_in.reshape(B * G, L),
-                    method="caption_logits",
+                    method="caption_logits", **cap_kw,
                 ).reshape(B, G, L, -1)
                 # next-token prediction: logits[t] predicts captions[t+1]
                 losses = pdvc_losses(
@@ -80,12 +89,19 @@ class CaptioningTrainer:
         @jax.jit
         def fwd(params, feats, mask):
             out = model_.apply(params, feats, mask, deterministic=True)
+            B, Q = out["query_feats"].shape[:2]
+            cap_kw = {}
+            if model_.caption_decoder_type == "standard":
+                cap_kw = dict(
+                    refs=out["pred_boxes"].reshape(B * Q, 2),
+                    memory=jnp.repeat(out["memory"], Q, axis=0),
+                    shapes=model_.level_shapes(feats.shape[1]),
+                )
             caps, cap_lps = model_.apply(
                 params,
                 out["query_feats"].reshape(-1, out["query_feats"].shape[-1]),
-                method="caption_greedy",
+                method="caption_greedy", **cap_kw,
             )
-            B = out["query_feats"].shape[0]
             return (out, caps.reshape(B, -1, caps.shape[-1]),
                     cap_lps.reshape(B, -1, cap_lps.shape[-1]))
 
