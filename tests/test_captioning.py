@@ -184,3 +184,32 @@ def test_dsa_caption_head_standard():
     flat = str(jax.tree_util.tree_structure(tr.params))
     for name in ("sampling_offsets", "value_proj", "alpha_net"):
         assert name in flat, name
+
+
+def test_caption_decoder_type_none_proposal_only():
+    """caption_decoder_type 'none' = proposal-only training
+    (cfgs/anet_c3d_props.yml, opts.py:224): no caption head params, no
+    caption loss, predict returns events with empty sentences."""
+    import numpy as np
+
+    from video_mamba_suite_tpu.tasks.captioning.model import PDVC
+    from video_mamba_suite_tpu.tasks.captioning.train import CaptioningTrainer
+
+    rng = np.random.default_rng(0)
+    B, T, C = 2, 32, 8
+    model = PDVC(input_dim=C, num_classes=1, vocab_size=11, num_queries=4,
+                 d_model=16, n_levels=2, num_encoder_layers=1,
+                 num_decoder_layers=1, caption_decoder_type="none",
+                 impl="ref")
+    tr = CaptioningTrainer(model, lr=1e-3)
+    feats = rng.standard_normal((B, T, C)).astype(np.float32)
+    mask = np.ones((B, T), np.float32)
+    losses = tr.train_step(
+        feats, mask,
+        np.tile(np.array([[0.5, 0.4]], np.float32), (B, 2, 1)),
+        np.zeros((B, 2), np.int32), np.ones((B, 2), bool),
+        np.zeros((B, 2, 4), np.int64))
+    assert "loss_caption" not in losses
+    assert "caption_head" not in str(jax.tree_util.tree_structure(tr.params))
+    events = tr.predict(feats, mask, duration=float(T), topk=2)
+    assert events[0][0]["sentence"] == ""

@@ -424,6 +424,9 @@ class PDVC(nn.Module):
                 n_levels=self.n_levels,
                 max_caption_len=self.max_caption_len, name="caption_head",
             )
+        elif self.caption_decoder_type == "none":
+            # proposal-only training (anet_c3d_props.yml, opts.py:224)
+            self.caption_head = None
         else:
             self.caption_head = LSTMCaptioner(
                 vocab_size=self.vocab_size, d_model=self.d_model,
@@ -491,6 +494,8 @@ class PDVC(nn.Module):
         """Initialization entry touching every submodule (the caption head is
         only reachable via its own methods)."""
         out = self(feats, mask)
+        if self.caption_head is None:
+            return out
         qf = out["query_feats"].reshape(-1, self.d_model)
         dummy = jnp.zeros((qf.shape[0], 2), jnp.int32)
         if self.caption_decoder_type == "standard":

@@ -61,6 +61,10 @@ class CaptioningTrainer:
                 qf = jax.vmap(lambda h, i: h[i])(out["query_feats"], safe_idx)
                 B, G, L = captions.shape
                 cap_in = jnp.where(captions == -100, 0, captions)
+                if model_.caption_decoder_type == "none":
+                    losses = pdvc_losses(
+                        out, gt_boxes, gt_labels, gt_valid, match_idx)
+                    return losses["loss_total"], losses
                 cap_kw = {}
                 if model_.caption_decoder_type == "standard":
                     boxes = jax.vmap(lambda b, i: b[i])(out["pred_boxes"],
@@ -90,6 +94,11 @@ class CaptioningTrainer:
         def fwd(params, feats, mask):
             out = model_.apply(params, feats, mask, deterministic=True)
             B, Q = out["query_feats"].shape[:2]
+            if model_.caption_decoder_type == "none":
+                # proposal-only: empty captions (EOS at t=0), zero scores
+                L = model_.max_caption_len
+                return (out, jnp.zeros((B, Q, L), jnp.int32),
+                        jnp.zeros((B, Q, L), jnp.float32))
             cap_kw = {}
             if model_.caption_decoder_type == "standard":
                 cap_kw = dict(
