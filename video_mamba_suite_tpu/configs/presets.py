@@ -84,6 +84,20 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         loss=dict(count_weight=0.5, bbox_weight=5.0, giou_weight=2.0,
                   label_weight=2.0, caption_weight=1.0),
     ),
+    # --- Dense captioning: PDVC-Mamba on YouCook2 TSN
+    # (cfgs/yc2_tsn_pdvc.yml over yc2_tsn_pdvcl.yml)
+    "dvc_yc2_tsn": dict(
+        model=dict(d_model=512, num_queries=100, n_levels=4,
+                   num_encoder_layers=2, num_decoder_layers=2,
+                   max_eseq_length=10, max_caption_len=30, mixer="vim",
+                   input_dim=3072, num_classes=1,
+                   caption_decoder_type="standard"),
+        opt=dict(learning_rate=5e-5, weight_decay=1e-4, epochs=30,
+                 grad_clip=0.1),
+        loader=dict(batch_size=1),
+        loss=dict(count_weight=0.5, bbox_weight=5.0, giou_weight=2.0,
+                  label_weight=2.0, caption_weight=1.0),
+    ),
     # --- Action anticipation: TeSTra+Mamba on EK100
     # (config/defaults.py MODEL.LSTR)
     "anticipation_ek100": dict(
