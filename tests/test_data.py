@@ -86,3 +86,30 @@ def test_feature_reader_and_prefetch(tmp_path):
     assert len(batches) == 5
     # order preserved
     assert [int(b["x"][0]) for b in batches] == [0, 1, 2, 3, 4]
+
+
+def test_sharded_sampler_covers_and_disjoint():
+    """DistributedSampler semantics: same length per shard, union covers,
+    epoch reshuffles identically across shards."""
+    from video_mamba_suite_tpu.data.sampler import ShardedSampler
+
+    n, shards = 13, 4
+    samplers = [ShardedSampler(n, shards, i, seed=7) for i in range(shards)]
+    for s in samplers:
+        s.set_epoch(0)
+    idx = [list(s) for s in samplers]
+    assert all(len(i) == 4 for i in idx)  # ceil(13/4) each (padded)
+    flat = [j for i in idx for j in i]
+    assert set(flat) == set(range(n))     # union covers despite padding
+    # determinism + epoch reshuffle
+    s2 = ShardedSampler(n, shards, 1, seed=7)
+    s2.set_epoch(0)
+    assert list(s2) == idx[1]
+    s2.set_epoch(1)
+    assert list(s2) != idx[1]
+    # drop_last truncates evenly
+    d = ShardedSampler(n, shards, 0, seed=7, drop_last=True)
+    assert len(d) == 3 and len(list(d)) == 3
+    # no-shuffle is the identity order dealt out strided
+    ns = ShardedSampler(6, 2, 0, shuffle=False)
+    assert list(ns) == [0, 2, 4]

@@ -16,6 +16,7 @@ from .video import (
     CLIP_STD,
 )
 from .features import FeatureReader, PrefetchLoader
+from .sampler import ShardedSampler
 
 __all__ = [
     "SimpleTokenizer",
@@ -28,4 +29,5 @@ __all__ = [
     "CLIP_STD",
     "FeatureReader",
     "PrefetchLoader",
+    "ShardedSampler",
 ]
