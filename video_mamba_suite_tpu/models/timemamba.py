@@ -33,6 +33,11 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = make_dense(self.hidden, quant=self.quant, dtype=self.dtype,
                        name="fc1")(x)
+        # named for targeted remat: saving the fc1 pre-activation skips the
+        # MLP's big matmul recompute in the bwd (gelu recompute stays cheap)
+        from jax.ad_checkpoint import checkpoint_name
+
+        x = checkpoint_name(x, "mlp_fc1")
         # exact-erf gelu (torch nn.GELU default, timemamba.py:52) in fp32;
         # under the bf16 policy the tanh form is used instead — its max
         # error (~1e-3·|x|) sits below one bf16 ulp (8e-3·|x|), i.e. the
@@ -244,6 +249,10 @@ class TimeMamba(nn.Module):
                     # + the attention softmax weights (119 MB/layer)
                     policy = jax.checkpoint_policies.save_only_these_names(
                         "mamba_scan_out", "attn_weights")
+                elif self.remat_policy == "save_scan_fc1":
+                    # + the MLP fc1 pre-activations (154 MB/layer)
+                    policy = jax.checkpoint_policies.save_only_these_names(
+                        "mamba_scan_out", "mlp_fc1")
                 elif self.remat_policy:
                     policy = getattr(jax.checkpoint_policies,
                                      self.remat_policy)
