@@ -17,8 +17,14 @@ def avion():
     return import_reference_avion()
 
 
-def test_spacetime_block_parity(avion):
-    """One SpaceTimeBlock (timemamba.py:98-178, frozen-in-time) vs ours.
+@pytest.mark.parametrize("style", ["frozen-in-time", "timesformer-div",
+                                   "frozen-joint"])
+def test_spacetime_block_parity(avion, style):
+    """One SpaceTimeBlock (timemamba.py:98-178) vs ours, over all three
+    attention styles (:168-171): frozen-in-time (space branch residual from
+    the block input), timesformer-div (temporal residual stays in the
+    stream — the like_timesformer builder's style, model_clip.py:729), and
+    frozen-joint (Mamba over the joint (n·t) sequence, :136).
 
     The reference's non-flash spatial attention instantiates torch
     nn.MultiheadAttention WITHOUT batch_first — as written it would attend
@@ -40,7 +46,7 @@ def test_spacetime_block_parity(avion):
     torch.manual_seed(0)
     dim, heads, n, t, B = 32, 4, 4, 3, 2
     ref = tm.SpaceTimeBlock(dim=dim, num_heads=heads,
-                            attention_style="frozen-in-time",
+                            attention_style=style,
                             is_tanh_gating=True)
     ref.attn.batch_first = True  # trained (flash) semantics
     ref.eval()
@@ -62,7 +68,7 @@ def test_spacetime_block_parity(avion):
     params = {"params": jax.tree_util.tree_map(jnp.asarray, blk)}
 
     ours = SpaceTimeBlock(dim=dim, num_heads=heads, is_tanh_gating=True,
-                          impl="ref")
+                          attention_style=style, impl="ref")
     xj = jnp.asarray(x.numpy())
     cls = xj[:, :1]
     patches = xj[:, 1:].reshape(B, n, t, dim)

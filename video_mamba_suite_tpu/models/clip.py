@@ -193,16 +193,38 @@ class CLIP(nn.Module):
 def clip_timemamba_base(num_frames: int = 4, project_embed_dim: int = 512,
                         **kw) -> CLIP:
     """CLIP_TimeMamba_like_timesformer (model_clip.py:721): ViT-B/16 spatial
-    tower with Mamba time adapters + CLIP text-B."""
+    tower with Mamba time adapters + CLIP text-B. The reference builder sets
+    attention_style='timesformer-div' and is_tanh_gating=True (:729-737)."""
+    cfg = dict(
+        embed_dim=768, depth=12, num_heads=12, num_frames=num_frames,
+        ln_pre=True, attention_style="timesformer-div", is_tanh_gating=True,
+    )
+    cfg.update(kw)
     return CLIP(
         embed_dim=project_embed_dim,
         vision_tower="timemamba",
-        vision_cfg=dict(
-            embed_dim=768, depth=12, num_heads=12, num_frames=num_frames,
-            ln_pre=True, **kw,
-        ),
+        vision_cfg=cfg,
         text_cfg=dict(width=512, heads=8, layers=12),
     )
+
+
+def clip_timemamba_frozen(num_frames: int = 4, project_embed_dim: int = 512,
+                          **kw) -> CLIP:
+    """CLIP_TimeMamba_like_frozen (model_clip.py:767): frozen-in-time
+    residual style + tanh-gated temporal adapters — the MODEL_ZOO
+    'TimeMamba-B (Frozen)' zero-shot MIR row."""
+    return clip_timemamba_base(
+        num_frames, project_embed_dim,
+        attention_style="frozen-in-time", **kw)
+
+
+def clip_timemamba_frozen_joint(num_frames: int = 4,
+                                project_embed_dim: int = 512, **kw) -> CLIP:
+    """CLIP_TimeMamba_like_frozen_joint (model_clip.py:813): the temporal
+    Mamba scans the JOINT (n·t) token sequence."""
+    return clip_timemamba_base(
+        num_frames, project_embed_dim,
+        attention_style="frozen-joint", **kw)
 
 
 def clip_vivim_tiny(num_frames: int = 16, project_embed_dim: int = 512) -> CLIP:

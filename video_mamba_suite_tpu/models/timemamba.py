@@ -67,6 +67,13 @@ class SpaceTimeBlock(nn.Module):
     drop: float = 0.0
     drop_path: float = 0.0
     is_tanh_gating: bool = False
+    attention_style: str = "frozen-in-time"  # | "timesformer-div" |
+                         # "frozen-joint" (timemamba.py:102,136,168-171):
+                         # frozen-in-time — temporal output feeds attention
+                         # only, residual from the block input; timesformer-
+                         # div — the temporal residual STAYS in the stream;
+                         # frozen-joint — the Mamba scans the JOINT (n·t)
+                         # sequence instead of per-patch time
     impl: str = "auto"
     dtype: Any = None
     quant: Any = False   # w8a8 serving mode: True = all block projections,
@@ -79,8 +86,13 @@ class SpaceTimeBlock(nn.Module):
         """cls (B, 1, D); patches (B, n, t, D). Returns (cls, patches)."""
         B, n, t, D = patches.shape
 
-        # --- temporal Mamba per patch position (:130-141)
-        ht = patches.reshape(B * n, t, D)
+        if self.attention_style == "frozen-joint":
+            # temporal Mamba over the JOINT patch-major (n t) sequence
+            # (timemamba.py:136 keeps b (n t) d when frozen-joint)
+            ht = patches.reshape(B, n * t, D)
+        else:
+            # --- temporal Mamba per patch position (:130-141)
+            ht = patches.reshape(B * n, t, D)
         ht_n = nn.LayerNorm(dtype=self.dtype, name="norm3")(ht)
         time_out = MambaVim(d_model=D, expand=1, impl=self.impl,
                             dtype=self.dtype, quant=self.quant is True,
@@ -88,13 +100,14 @@ class SpaceTimeBlock(nn.Module):
         if self.is_tanh_gating:
             alpha = self.param("alpha_timeattn", nn.initializers.zeros, ())
             time_out = jnp.tanh(alpha) * time_out
-        time_residual = ht + time_out                    # (B·n, t, D)
+        time_residual = ht + time_out            # (B·n, t, D) or (B, n·t, D)
+        tr = time_residual.reshape(B, n, t, D)
 
         # --- spatial attention per frame with broadcast cls (:148-170)
         cls_rep = jnp.broadcast_to(
             cls.astype(patches.dtype)[:, None], (B, t, 1, D)
         ).reshape(B * t, 1, D)
-        xs = time_residual.reshape(B, n, t, D).transpose(0, 2, 1, 3)
+        xs = tr.transpose(0, 2, 1, 3)
         xs = xs.reshape(B * t, n, D)
         xs = jnp.concatenate([cls_rep, xs], axis=1)      # (B·t, 1+n, D)
         xs_n = nn.LayerNorm(dtype=self.dtype, name="norm1")(xs)
@@ -104,9 +117,14 @@ class SpaceTimeBlock(nn.Module):
         cls_out = space_out[:, 0].reshape(B, t, D).mean(axis=1, keepdims=True)
         patch_out = space_out[:, 1:].reshape(B, t, n, D).transpose(0, 2, 1, 3)
 
-        # frozen-in-time: x = res_x + [cls_mean; space_output] (:172)
+        # residual style (:168-171): frozen-in-time/joint add the space
+        # branch to the BLOCK INPUT; timesformer-div adds it to the
+        # temporal residual (divided space-time)
         cls = cls + cls_out
-        patches = patches + patch_out
+        if self.attention_style == "timesformer-div":
+            patches = tr + patch_out
+        else:
+            patches = patches + patch_out
         norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
         mlp = Mlp(int(D * self.mlp_ratio), D, self.drop,
                   dtype=self.dtype,
@@ -141,6 +159,7 @@ class _BlockScanBody(nn.Module):
     drop: float
     drop_path: float
     is_tanh_gating: bool
+    attention_style: str
     impl: str
     deterministic: bool
     dtype: Any = None
@@ -157,7 +176,8 @@ class _BlockScanBody(nn.Module):
                 dim=self.dim, num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 drop=self.drop, drop_path=self.drop_path,
-                is_tanh_gating=self.is_tanh_gating, impl=self.impl,
+                is_tanh_gating=self.is_tanh_gating,
+                attention_style=self.attention_style, impl=self.impl,
                 dtype=self.dtype, quant=self.quant,
                 name=f"block{gi}" if self.group > 1
                 else "block",
@@ -179,6 +199,7 @@ class TimeMamba(nn.Module):
     drop_path_rate: float = 0.0
     ln_pre: bool = False            # CLIP-style pre-LN variant
     is_tanh_gating: bool = False
+    attention_style: str = "frozen-in-time"
     output_dim: Optional[int] = 512
     scan_blocks: bool = False       # compile one block, loop `depth` times
     scan_group: int = 1             # blocks per scan step (must divide depth)
@@ -269,7 +290,8 @@ class TimeMamba(nn.Module):
             )(
                 dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 drop=self.drop_rate, drop_path=self.drop_path_rate,
-                is_tanh_gating=self.is_tanh_gating, impl=self.impl,
+                is_tanh_gating=self.is_tanh_gating,
+                attention_style=self.attention_style, impl=self.impl,
                 deterministic=deterministic, group=self.scan_group,
                 dtype=self.dtype, quant=self.quant, name="blocks",
             )
@@ -281,7 +303,8 @@ class TimeMamba(nn.Module):
                 cls_tokens, patches = SpaceTimeBlock(
                     dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                     drop=self.drop_rate, drop_path=dpr[i],
-                    is_tanh_gating=self.is_tanh_gating, impl=self.impl,
+                    is_tanh_gating=self.is_tanh_gating,
+                    attention_style=self.attention_style, impl=self.impl,
                     dtype=self.dtype, quant=self.quant, name=f"block{i}",
                 )(cls_tokens, patches, deterministic=deterministic)
 
