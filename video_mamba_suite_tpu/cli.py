@@ -629,7 +629,10 @@ def run_egocentric(cfg, epochs, synthetic, ckpt=None):
                           img_size=m.get("img_size", 224),
                           patch_size=m.get("patch_size", 16))
         if tower == "timemamba":
-            vision_cfg.update(ln_pre=True, scan_blocks=True)
+            vision_cfg.update(
+                ln_pre=True, scan_blocks=True,
+                attention_style=m.get("attention_style", "frozen-in-time"),
+                is_tanh_gating=m.get("is_tanh_gating", False))
         model = CLIP(
             embed_dim=m.get("embed_dim", 512),
             vision_tower=tower,

@@ -111,8 +111,13 @@ PRESETS: Dict[str, Dict[str, Any]] = {
     # --- Egocentric CLIP pretrain: TimeMamba-B 4f on Ego4D
     # (scripts/pretrain + model_clip.py:721)
     "ego_timemamba_pretrain": dict(
+        # scripts/pretrain/run_slurm_pretrain_bs512_timemamba_like_frozen.sh:
+        # CLIP_TimeMamba_like_frozen = frozen-in-time + tanh-gated adapters
+        # (the MODEL_ZOO zero-shot MIR row); set
+        # model.attention_style=timesformer-div for the like_timesformer run
         model=dict(tower="timemamba", embed_dim=768, depth=12, num_heads=12,
-                   num_frames=4, project_embed_dim=512, ln_pre=True),
+                   num_frames=4, project_embed_dim=512, ln_pre=True,
+                   attention_style="frozen-in-time", is_tanh_gating=True),
         opt=dict(learning_rate=3e-5, weight_decay=0.01, b2=0.98, epochs=5,
                  warmup_epochs=1),
         loader=dict(batch_size=256, context_length=77),
