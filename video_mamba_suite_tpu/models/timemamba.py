@@ -99,7 +99,11 @@ class SpaceTimeBlock(nn.Module):
                             name="time_mamba")(ht_n)
         if self.is_tanh_gating:
             alpha = self.param("alpha_timeattn", nn.initializers.zeros, ())
-            time_out = jnp.tanh(alpha) * time_out
+            # cast the fp32 gate to the compute dtype: the product otherwise
+            # promotes the temporal residual to fp32, which under
+            # timesformer-div enters the nn.scan carry and breaks the bf16
+            # policy (and costs ~20 ms/fwd of fp32 stream, round-2 notes)
+            time_out = jnp.tanh(alpha).astype(time_out.dtype) * time_out
         time_residual = ht + time_out            # (B·n, t, D) or (B, n·t, D)
         tr = time_residual.reshape(B, n, t, D)
 
