@@ -238,6 +238,18 @@ def clip_vivim_tiny(num_frames: int = 16, project_embed_dim: int = 512) -> CLIP:
     )
 
 
+def clip_vivim_tiny_hs4(num_frames: int = 16,
+                        project_embed_dim: int = 512) -> CLIP:
+    """CLIP_ViViM_tiny_hs4 (model_clip.py:928): d_state = 4 variant."""
+    return CLIP(
+        embed_dim=project_embed_dim,
+        vision_tower="vivim",
+        vision_cfg=dict(embed_dim=192, depth=24, num_frames=num_frames,
+                        if_devide_out=True, d_state=4),
+        text_cfg=dict(width=512, heads=8, layers=12),
+    )
+
+
 def clip_vivim_small(num_frames: int = 16, project_embed_dim: int = 512) -> CLIP:
     """CLIP_ViViM_small (model_clip.py:1028)."""
     return CLIP(

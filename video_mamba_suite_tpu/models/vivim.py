@@ -39,6 +39,7 @@ class _ViViMScanBody(nn.Module):
     drop_path: float
     deterministic: bool
     mixer: str = "vim"   # "vim" | "scan_norm" (vivim_scan_norm.py variants)
+    d_state: int = 16    # SSM state size (the hs4 model-zoo variant uses 4)
 
     @nn.compact
     def __call__(self, carry, _):
@@ -57,7 +58,8 @@ class _ViViMScanBody(nn.Module):
         )
         cls = MambaScanNorm if self.mixer == "scan_norm" else MambaVim
         out = cls(
-            d_model=self.embed_dim, if_devide_out=self.if_devide_out,
+            d_model=self.embed_dim, d_state=self.d_state,
+            if_devide_out=self.if_devide_out,
             impl=self.impl, name="mixer",
         )(h)
         return (out, res), None
@@ -97,6 +99,8 @@ class ViViM(nn.Module):
     norm_eps: float = 1e-5
     if_devide_out: bool = True
     if_bidirectional: bool = False  # interleaved fwd/bwd layer pairs
+    d_state: int = 16               # SSM state (CLIP_ViViM_tiny_hs4 uses 4,
+                                    # model_clip.py:928)
     mixer: str = "vim"              # "vim" | "scan_norm" — the reference's
                                     # vivim_{tiny,small}_scan_norm variants
                                     # (action-recognition/models/
@@ -167,7 +171,8 @@ class ViViM(nn.Module):
                 h = jnp.flip(h, axis=1)
             mcls = MambaScanNorm if self.mixer == "scan_norm" else MambaVim
             out = mcls(
-                d_model=self.embed_dim, if_devide_out=self.if_devide_out,
+                d_model=self.embed_dim, d_state=self.d_state,
+                if_devide_out=self.if_devide_out,
                 impl=self.impl, name=f"mixer{i}",
             )(h)
             return out, res
@@ -195,7 +200,7 @@ class ViViM(nn.Module):
                 norm_eps=self.norm_eps, if_devide_out=self.if_devide_out,
                 impl=self.impl, drop_path=self.drop_path_rate,
                 deterministic=deterministic, mixer=self.mixer,
-                name="blocks",
+                d_state=self.d_state, name="blocks",
             )
             (hidden, residual), _ = scanned(
                 (hidden, jnp.zeros_like(hidden, jnp.float32)), None
