@@ -60,6 +60,12 @@ def _opt(cfg, key, default):
     return cfg.get("opt", {}).get(key, default)
 
 
+def _mesh(cfg) -> bool:
+    """train.use_mesh: run the trainer SPMD over a 'data' mesh (the DDP
+    equivalent; multi-host after parallel.multihost.initialize)."""
+    return bool(cfg.get("train", {}).get("use_mesh", False))
+
+
 _WATCHER = None  # PreemptionWatcher installed by main(); loops poll it
 
 
@@ -120,6 +126,7 @@ def run_tas(cfg, epochs, synthetic, ckpt=None):
             lr=_opt(cfg, "learning_rate", 5e-4),
             weight_decay=_opt(cfg, "weight_decay", 1e-5),
             mixer=m.get("mixer", "vim"),
+            use_mesh=_mesh(cfg),
         )
         bs = cfg.get("loader", {}).get("batch_size", 1)
         f0, _, m0 = collate([gen._load_one(gen.list_of_examples[0])],
@@ -141,7 +148,8 @@ def run_tas(cfg, epochs, synthetic, ckpt=None):
     data = make_synthetic_dataset(num_videos=8, num_classes=5, feat_dim=32)
     nc = max(int(l.max()) for _, l in data) + 1
     tr = TasTrainer(num_classes=nc, input_dim=32, num_layers=2, num_f_maps=32,
-                    num_decoders=1, channel_masking_rate=0.0)
+                    num_decoders=1, channel_masking_rate=0.0,
+                    use_mesh=_mesh(cfg))
 
     class Gen:
         def __init__(s):
@@ -212,6 +220,7 @@ def run_tal(cfg, epochs, synthetic, ckpt=None):
             mixer=m.get("mixer", "dbm"),
             test_cfg=cfg.get("test_cfg", {}).to_dict()
             if hasattr(cfg.get("test_cfg", {}), "to_dict") else None,
+            use_mesh=_mesh(cfg),
         )
         from .tasks.tal.data import collate_tal
 
@@ -263,6 +272,7 @@ def run_vtg(cfg, epochs, synthetic, ckpt=None):
             mamba_type=m.get("mamba_type", "vim"),
             lr=_opt(cfg, "learning_rate", 1e-4),
             max_q_l=d.get("max_q_l", 32), max_v_l=d.get("max_v_l", 75),
+            use_mesh=_mesh(cfg),
         )
         bs = cfg.get("loader", {}).get("batch_size", 32)
         from .tasks.vtg.data import collate_vtg
@@ -351,6 +361,7 @@ def run_vtg_hl(cfg, epochs, synthetic, ckpt=None):
         mamba_type=m.get("mamba_type", "vim"),
         lr=_opt(cfg, "learning_rate", 1e-4),
         max_v_l=m.get("max_v_l", 128),
+        use_mesh=_mesh(cfg),
     )
     bs = cfg.get("loader", {}).get("batch_size", 4)
     start = _maybe_resume(ckpt, lambda: (tr.restore(ckpt, train),
@@ -396,7 +407,8 @@ def run_captioning(cfg, epochs, synthetic, ckpt=None):
             max_caption_len=d.get("max_caption_len", 20),
             caption_decoder_type=m.get("caption_decoder_type", "light"),
         )
-        tr = CaptioningTrainer(model, lr=_opt(cfg, "learning_rate", 5e-5))
+        tr = CaptioningTrainer(model, lr=_opt(cfg, "learning_rate", 5e-5),
+                               use_mesh=_mesh(cfg))
         bs = cfg.get("loader", {}).get("batch_size", 1)
         import numpy as _np
 
@@ -496,7 +508,8 @@ def run_anticipation(cfg, epochs, synthetic, ckpt=None):
             anticipation_num_samples=ant,
             mamba_layers=m.get("mamba_layers", 2),
         )
-        tr = AnticipationTrainer(model, lr=_opt(cfg, "learning_rate", 7e-5))
+        tr = AnticipationTrainer(model, lr=_opt(cfg, "learning_rate", 7e-5),
+                                 use_mesh=_mesh(cfg))
         bs = cfg.get("loader", {}).get("batch_size", 16)
         start = _maybe_resume(ckpt, lambda: tr.restore(
             ckpt, vis0[None], mot0[None]))
@@ -553,6 +566,7 @@ def run_recognition(cfg, epochs, synthetic, ckpt=None):
             model, num_classes=nc, lr=_opt(cfg, "learning_rate", 1e-3),
             mixup_alpha=cfg.get("aug", {}).get("mixup", 0.8),
             cutmix_alpha=cfg.get("aug", {}).get("cutmix", 1.0),
+            use_mesh=_mesh(cfg),
         )
         # preset-gated RandAugment + RandomErasing (the K400 finetune
         # recipe, kinetics_sparse.py:183-233)
@@ -643,7 +657,8 @@ def run_egocentric(cfg, epochs, synthetic, ckpt=None):
                           heads=m.get("text_heads", 8),
                           layers=m.get("text_layers", 12)),
         )
-        tr = ClipPretrainer(model, lr=_opt(cfg, "learning_rate", 3e-5))
+        tr = ClipPretrainer(model, lr=_opt(cfg, "learning_rate", 3e-5),
+                            use_mesh=_mesh(cfg))
         bs = cfg.get("loader", {}).get("batch_size", 8)
         rng = np.random.default_rng(0)
         r0 = ds[0]
@@ -710,6 +725,21 @@ def main(argv=None):
     p.add_argument("--set", nargs="*", dest="overrides",
                    help="dotted config overrides a.b=c")
     args = p.parse_args(argv)
+
+    # multi-host bootstrap BEFORE any backend-touching jax call: a no-op
+    # single-host, coordinator discovery on pods/SLURM/OMPI or via VMS_*
+    # env vars (parallel/multihost.py; launch model in scripts/README.md)
+    from .parallel.multihost import initialize as _init_multihost
+
+    if _init_multihost():
+        import jax
+
+        # non-primary processes stay quiet (the reference's
+        # setup_for_distributed print-gating, distributed.py:128-139)
+        if jax.process_index() != 0:
+            import builtins
+
+            builtins.print = lambda *a, **k: None
 
     cfg = Config(PRESETS[args.preset]) if args.preset else Config()
     cfg = cfg.override(_parse_overrides(args.overrides))

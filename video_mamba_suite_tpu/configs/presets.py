@@ -136,6 +136,19 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         loader=dict(batch_size=256),
         test=dict(num_temporal_views=4, num_spatial_views=3),
     ),
+    # --- ViViM-S (vivim.py:543-585 registry: embed_dim 384, depth 24;
+    # exp/k400/vivim_small/run_f16x224.sh recipe — same schedule as tiny)
+    "recognition_k400_vivim_small": dict(
+        model=dict(embed_dim=384, depth=24, num_frames=16, patch_size=16,
+                   img_size=224, num_classes=400, drop_path_rate=0.1),
+        opt=dict(learning_rate=1e-3, weight_decay=0.05, layer_decay=0.75,
+                 epochs=30, warmup_epochs=5, ema_decay=0.9999),
+        aug=dict(mixup=0.8, cutmix=1.0, smoothing=0.1,
+                 aa="rand-m7-n4-mstd0.5-inc1", reprob=0.25, remode="pixel",
+                 recount=1),
+        loader=dict(batch_size=256),
+        test=dict(num_temporal_views=4, num_spatial_views=3),
+    ),
     # --- scan-norm mixer variant (vivim_scan_norm.py:503-545 registry)
     "recognition_k400_vivim_tiny_scan_norm": dict(
         model=dict(embed_dim=192, depth=24, num_frames=16, patch_size=16,

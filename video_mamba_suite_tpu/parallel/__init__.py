@@ -8,10 +8,20 @@ which the reference lacks entirely).
 """
 
 from .mesh import make_mesh, shard_batch, replicate_params, data_parallel_sharding
+from .multihost import (
+    initialize as initialize_multihost,
+    is_primary,
+    local_batch_to_global,
+    sync_global_devices,
+)
 from .ring_scan import ring_mamba_vim, ring_selective_scan
 from .tensor_parallel import tp_mamba_forward, tp_shard_params
 
 __all__ = [
+    "initialize_multihost",
+    "is_primary",
+    "local_batch_to_global",
+    "sync_global_devices",
     "make_mesh",
     "shard_batch",
     "replicate_params",

@@ -61,7 +61,18 @@ def data_parallel_sharding(mesh: Mesh, batch_axes: int = 1):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree batch with leading batch axis sharded over 'data'."""
+    """Place a pytree batch with leading batch axis sharded over 'data'.
+
+    Single-process: the batch is global; device_put splits it. Multi-host
+    (pod) runs: each process holds only ITS sampler shard
+    (`data.sampler.ShardedSampler`), so the global array is assembled from
+    process-local pieces instead (`parallel/multihost.py`).
+    """
+    if jax.process_count() > 1:
+        from .multihost import local_batch_to_global
+
+        return local_batch_to_global(mesh, batch)
+
     def put(x):
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
