@@ -292,6 +292,13 @@ class FusedMHA(nn.Module):
                                   # pipelined fusion wins), kept as an option
                                   # for its fp32-softmax numerics.
     quant: bool = False           # w8a8 serving mode for qkv/out projections
+    seq_axis: int = -2            # 1 on a 4-D (B, S, T, D) input: attention
+                                  # over S batched over (B, T) WITHOUT
+                                  # flattening — keeps the producer's
+                                  # patch-major layout so XLA's dot layout
+                                  # assignment absorbs the transposes
+                                  # (measured -6% on the TimeMamba spatial
+                                  # sandwich, benchmarks/r5_attn_layout.py)
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -303,6 +310,23 @@ class FusedMHA(nn.Module):
                          kernel_init=nn.initializers.xavier_uniform(),
                          name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.seq_axis == 1 and x.ndim == 4:
+            if self.causal or self.flash:
+                raise ValueError("seq_axis=1 supports plain bidirectional "
+                                 "attention only")
+            B_, S, T_ = x.shape[:3]
+            q, k, v = (t.reshape(B_, S, T_, H, dh) for t in (q, k, v))
+            scores = jnp.einsum("bqthd,bkthd->bthqk", q, k)
+            scores = scores * (1.0 / math.sqrt(dh))
+            w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            from jax.ad_checkpoint import checkpoint_name
+
+            w = checkpoint_name(w, "attn_weights")
+            out = jnp.einsum("bthqk,bkthd->bqthd", w, v)
+            out = out.reshape(B_, S, T_, D)
+            return make_dense(D, quant=self.quant, dtype=self.dtype,
+                              kernel_init=nn.initializers.xavier_uniform(),
+                              name="out")(out)
 
         def heads(t):
             return t.reshape(t.shape[:-1] + (H, dh))

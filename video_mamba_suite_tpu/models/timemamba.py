@@ -107,19 +107,21 @@ class SpaceTimeBlock(nn.Module):
         time_residual = ht + time_out            # (B·n, t, D) or (B, n·t, D)
         tr = time_residual.reshape(B, n, t, D)
 
-        # --- spatial attention per frame with broadcast cls (:148-170)
-        cls_rep = jnp.broadcast_to(
-            cls.astype(patches.dtype)[:, None], (B, t, 1, D)
-        ).reshape(B * t, 1, D)
-        xs = tr.transpose(0, 2, 1, 3)
-        xs = xs.reshape(B * t, n, D)
-        xs = jnp.concatenate([cls_rep, xs], axis=1)      # (B·t, 1+n, D)
+        # --- spatial attention per frame with broadcast cls (:148-170).
+        # Stays in the patch-major (B, 1+n, t, D) layout: FusedMHA's
+        # seq_axis=1 path batches the attention over (B, t) directly, so
+        # the (B·t, n, D) flatten/unflatten transposes (and XLA's resulting
+        # layout copies, ~4 ms/fwd at TimeMamba-B) never materialize
+        # (benchmarks/r5_attn_layout.py)
+        cls4 = jnp.broadcast_to(
+            cls.astype(patches.dtype)[:, :, None], (B, 1, t, D))
+        xs = jnp.concatenate([cls4, tr], axis=1)         # (B, 1+n, t, D)
         xs_n = nn.LayerNorm(dtype=self.dtype, name="norm1")(xs)
         space_out = FusedMHA(num_heads=self.num_heads, dtype=self.dtype,
-                             quant=self.quant is True,
+                             quant=self.quant is True, seq_axis=1,
                              name="attn")(xs_n, deterministic=deterministic)
-        cls_out = space_out[:, 0].reshape(B, t, D).mean(axis=1, keepdims=True)
-        patch_out = space_out[:, 1:].reshape(B, t, n, D).transpose(0, 2, 1, 3)
+        cls_out = space_out[:, 0].mean(axis=1, keepdims=True)   # (B, 1, D)
+        patch_out = space_out[:, 1:]                     # (B, n, t, D)
 
         # residual style (:168-171): frozen-in-time/joint add the space
         # branch to the BLOCK INPUT; timesformer-div adds it to the
