@@ -29,7 +29,8 @@ def main():
     model = TimeMamba(
         img_size=size, patch_size=16, embed_dim=768, depth=12, num_heads=12,
         num_frames=frames, ln_pre=True, output_dim=512, impl="pallas",
-        scan_blocks=True, remat=True, dtype=jnp.bfloat16,
+        scan_blocks=True, remat=True, remat_policy="save_scan",
+        dtype=jnp.bfloat16,
     )
     x = jax.random.normal(
         jax.random.PRNGKey(0), (batch, frames, size, size, 3), jnp.bfloat16)

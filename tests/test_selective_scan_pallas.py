@@ -376,6 +376,63 @@ def test_bidir_fused_matches_two_directions():
                                    rtol=5e-3, atol=5e-3)
 
 
+def test_bidir_fused_all_cotangents():
+    """Grads through the FUSED bidirectional bwd kernel for every diff
+    argument (A/B/C/D/z/bias per direction — the u/dt case is covered by
+    test_bidir_fused_matches_two_directions), vs the pure-jnp reference."""
+    from video_mamba_suite_tpu.ops.selective_scan_pallas import (
+        selective_scan_pallas_bidir,
+    )
+
+    rng = jax.random.PRNGKey(17)
+    b, l, d, n = 2, 13, 8, 4          # l % 8 != 0: exercises padding too
+    ks = jax.random.split(rng, 16)
+    uf, ub = (jax.random.normal(ks[i], (b, l, d)) for i in (0, 1))
+    dtf = 0.5 * jax.random.uniform(ks[2], (b, l, d))
+    dtb = 0.5 * jax.random.uniform(ks[3], (b, l, d))
+    args = dict(
+        Af=-0.5 * jax.random.uniform(ks[4], (d, n)),
+        Ab=-0.5 * jax.random.uniform(ks[5], (d, n)),
+        Bf=jax.random.normal(ks[6], (b, l, n)),
+        Cf=jax.random.normal(ks[7], (b, l, n)),
+        Bb=jax.random.normal(ks[8], (b, l, n)),
+        Cb=jax.random.normal(ks[9], (b, l, n)),
+        Df=jax.random.normal(ks[10], (d,)),
+        Db=jax.random.normal(ks[11], (d,)),
+        zf=jax.random.normal(ks[12], (b, l, d)),
+        zb=jax.random.normal(ks[13], (b, l, d)),
+        biasf=0.5 * jax.random.uniform(ks[14], (d,)),
+        biasb=0.5 * jax.random.uniform(ks[15], (d,)),
+    )
+    g1 = jax.random.normal(jax.random.PRNGKey(30), (b, l, d))
+    g2 = jax.random.normal(jax.random.PRNGKey(31), (b, l, d))
+    flip = lambda x: jnp.flip(x, axis=1)  # noqa: E731
+
+    def loss_ref(a):
+        yf = selective_scan_ref(uf, dtf, a["Af"], a["Bf"], a["Cf"],
+                                D=a["Df"], z=a["zf"], delta_bias=a["biasf"],
+                                delta_softplus=True)
+        yb = flip(selective_scan_ref(
+            flip(ub), flip(dtb), a["Ab"], flip(a["Bb"]), flip(a["Cb"]),
+            D=a["Db"], z=flip(a["zb"]), delta_bias=a["biasb"],
+            delta_softplus=True))
+        return jnp.sum(yf * g1) + jnp.sum(yb * g2)
+
+    def loss_fused(a):
+        yf, yb = selective_scan_pallas_bidir(
+            uf, dtf, a["Af"], a["Bf"], a["Cf"], ub, dtb, a["Ab"], a["Bb"],
+            a["Cb"], Df=a["Df"], zf=a["zf"], biasf=a["biasf"], Db=a["Db"],
+            zb=a["zb"], biasb=a["biasb"], delta_softplus=True)
+        return jnp.sum(yf * g1) + jnp.sum(yb * g2)
+
+    gr = jax.grad(loss_ref)(args)
+    gp = jax.grad(loss_fused)(args)
+    for k in sorted(args):
+        np.testing.assert_allclose(
+            np.asarray(gp[k]), np.asarray(gr[k]), rtol=5e-3, atol=5e-3,
+            err_msg=f"grad mismatch for {k}")
+
+
 def test_bidir_fused_padded_seqlen():
     """Non-multiple-of-8 seqlen: padding is identity for BOTH directions."""
     from video_mamba_suite_tpu.ops.selective_scan_pallas import (

@@ -999,6 +999,10 @@ SHORT_BT_ELEMS_BWD = 128   # bwd cap (per-step h list lives in VMEM; decays
                            # c=16) measured bt 4/6/8/12/16 = 4.29/4.76/3.93/
                            # 4.63/4.03 ms fwd+bwd — bt=8 wins; bigger tiles
                            # also outgrow the 16 MB default scoped VMEM.
+SHORT_BIDIR_BT_ELEMS_BWD = 128  # fused-bidir bwd batch-tile cap (TWO h
+                           # lists in VMEM); on-chip sweep at the TimeMamba
+                           # adapter shape (1568 rows, c=16, dtile 256):
+                           # cap 64/128/256 → see benchmarks/r5_bidir_bwd.py
 SHORT_BWD_VMEM_LIMIT = 64 * 1024 * 1024  # scoped-VMEM headroom so seqlens
                            # whose c doesn't divide the cap cleanly (bt
                            # rounding up the h-list footprint) still compile
@@ -1062,6 +1066,153 @@ def _short_bidir_fwd_kernel(
         yb = yb * (zb * jax.nn.sigmoid(zb))
     outf_ref[...] = yf.astype(outf_ref.dtype)
     outb_ref[...] = yb.astype(outb_ref.dtype)
+
+
+def _short_bidir_bwd_kernel(
+    uf_ref, dtf_ref, af_ref, bf_ref, cf_ref, df_ref, zf_ref, biasf_ref,
+    gf_ref,
+    ub_ref, dtb_ref, ab_ref, bb_ref, cb_ref, db_ref, zb_ref, biasb_ref,
+    gb_ref,
+    duf_ref, ddtf_ref, daf_ref, dbf_ref, dcf_ref, ddf_ref, dzf_ref,
+    dbiasf_ref,
+    dub_ref, ddtb_ref, dab_ref, dbb_ref, dcb_ref, ddb_ref, dzb_ref,
+    dbiasb_ref,
+    *, softplus: bool, has_d: bool, has_z: bool, seqlen: int,
+):
+    """Adjoint of BOTH directions in one step loop (the bwd mirror of
+    _short_bidir_fwd_kernel). Direction b is flip∘scan∘flip; instead of
+    materializing flips, it runs in its flipped frame in place: loop
+    position i touches direction f at time i and direction b at time
+    c-1-i, in both the forward state recompute and the reverse adjoint
+    walk. Interleaving the two independent recurrences fills the VPU the
+    same way the fused fwd does (~1.2x one direction instead of 2x), and
+    all twelve host-side flip copies of the unfused path disappear.
+    Reference: the CUDA bwd walks one direction per launch
+    (selective_scan_bwd_kernel.cuh:141-146); the bidirectional mixers there
+    pay two launches + flip copies (mamba_simple.py:228-260)."""
+    af_t = af_ref[...].astype(jnp.float32)
+    ab_t = ab_ref[...].astype(jnp.float32)
+    uf, dtf_pre, dtf, maskf, bfm, cfm = _short_prep(
+        uf_ref, dtf_ref, bf_ref, cf_ref,
+        biasf_ref[0].astype(jnp.float32), softplus, seqlen)
+    ub, dtb_pre, dtb, maskb, bbm, cbm = _short_prep(
+        ub_ref, dtb_ref, bb_ref, cb_ref,
+        biasb_ref[0].astype(jnp.float32), softplus, seqlen)
+    bt, c, d = uf.shape
+    n = af_t.shape[0]
+    dtuf = dtf * uf
+    dtub = dtb * ub
+
+    # forward state recompute, both directions interleaved; hs*[i] is the
+    # state at loop position i (direction b: actual time c-1-i)
+    hf = jnp.zeros((bt, n, d), jnp.float32)
+    hb = jnp.zeros((bt, n, d), jnp.float32)
+    hsf, hsb = [], []
+    for i in range(c):
+        tf, tb = i, c - 1 - i
+        af_step = jnp.exp(_row1(dtf, tf)[:, None, :] * af_t[None])
+        ab_step = jnp.exp(_row1(dtb, tb)[:, None, :] * ab_t[None])
+        hf = af_step * hf + _row1(dtuf, tf)[:, None, :] * _col(bfm, tf)
+        hb = ab_step * hb + _row1(dtub, tb)[:, None, :] * _col(bbm, tb)
+        hsf.append(hf)
+        hsb.append(hb)
+
+    gf = gf_ref[...].astype(jnp.float32)
+    gb = gb_ref[...].astype(jnp.float32)
+
+    def gate_bwd(g, z_ref_, dz_ref_, u, dval_ref, hs, cm, actual):
+        if not has_z:
+            return g
+        z = z_ref_[...].astype(jnp.float32)
+        sig = jax.nn.sigmoid(z)
+        silu = z * sig
+        ys = [None] * c
+        for i in range(c):
+            t = actual(i)
+            ys[t] = jnp.sum(hs[i] * _col(cm, t), axis=1)[:, None]
+        y_pre = jnp.concatenate(ys, axis=1)
+        if has_d:
+            y_pre = y_pre + u * dval_ref[0].astype(jnp.float32)[None]
+        dz_ref_[...] = (g * y_pre * (sig + silu * (1.0 - sig))).astype(
+            dz_ref_.dtype)
+        return g * silu
+
+    gyf = gate_bwd(gf, zf_ref, dzf_ref, uf, df_ref, hsf, cfm, lambda i: i)
+    gyb = gate_bwd(gb, zb_ref, dzb_ref, ub, db_ref, hsb, cbm,
+                   lambda i: c - 1 - i)
+
+    # reverse adjoint walk, interleaved (see _short_bwd_kernel for the
+    # single-direction derivation)
+    dhf = jnp.zeros((bt, n, d), jnp.float32)
+    dhb = jnp.zeros((bt, n, d), jnp.float32)
+    daf_acc = jnp.zeros((n, d), jnp.float32)
+    dab_acc = jnp.zeros((n, d), jnp.float32)
+    dcsf, dbsf = [None] * c, [None] * c
+    ddtsf, dusf = [None] * c, [None] * c
+    dcsb, dbsb = [None] * c, [None] * c
+    ddtsb, dusb = [None] * c, [None] * c
+    zero_h = jnp.zeros((bt, n, d), jnp.float32)
+    for i in range(c - 1, -1, -1):
+        tf, tb = i, c - 1 - i
+        gyf_t = _row1(gyf, tf)
+        af_step = jnp.exp(_row1(dtf, tf)[:, None, :] * af_t[None])
+        dhf = _col(cfm, tf) * gyf_t[:, None, :] + dhf
+        hf_prev = hsf[i - 1] if i > 0 else zero_h
+        daf_el = dhf * hf_prev * af_step
+        daf_acc = daf_acc + jnp.sum(
+            daf_el * _row1(dtf, tf)[:, None, :], axis=0)
+        dcsf[tf] = jnp.sum(gyf_t[:, None, :] * hsf[i], axis=2)[:, :, None]
+        dbsf[tf] = jnp.sum(
+            dhf * _row1(dtuf, tf)[:, None, :], axis=2)[:, :, None]
+        dhf_b = jnp.sum(dhf * _col(bfm, tf), axis=1)
+        ddtsf[tf] = (jnp.sum(daf_el * af_t[None], axis=1)
+                     + dhf_b * _row1(uf, tf))[:, None]
+        dusf[tf] = (dhf_b * _row1(dtf, tf))[:, None]
+        dhf = af_step * dhf
+
+        gyb_t = _row1(gyb, tb)
+        ab_step = jnp.exp(_row1(dtb, tb)[:, None, :] * ab_t[None])
+        dhb = _col(cbm, tb) * gyb_t[:, None, :] + dhb
+        hb_prev = hsb[i - 1] if i > 0 else zero_h
+        dab_el = dhb * hb_prev * ab_step
+        dab_acc = dab_acc + jnp.sum(
+            dab_el * _row1(dtb, tb)[:, None, :], axis=0)
+        dcsb[tb] = jnp.sum(gyb_t[:, None, :] * hsb[i], axis=2)[:, :, None]
+        dbsb[tb] = jnp.sum(
+            dhb * _row1(dtub, tb)[:, None, :], axis=2)[:, :, None]
+        dhb_b = jnp.sum(dhb * _col(bbm, tb), axis=1)
+        ddtsb[tb] = (jnp.sum(dab_el * ab_t[None], axis=1)
+                     + dhb_b * _row1(ub, tb))[:, None]
+        dusb[tb] = (dhb_b * _row1(dtb, tb))[:, None]
+        dhb = ab_step * dhb
+
+    def epilogue(da_ref_, dc_ref_, db_ref_, du_ref_, ddt_ref_, dd_ref_,
+                 dbias_ref_, da_acc, dcs, dbs, dus, ddts, gy, u, dval_ref,
+                 dt_pre, mask):
+        da_ref_[0] = da_acc
+        dc_ref_[0] = jnp.swapaxes(
+            jnp.concatenate(dcs, axis=2), 1, 2).astype(dc_ref_.dtype)
+        db_ref_[0] = jnp.swapaxes(
+            jnp.concatenate(dbs, axis=2), 1, 2).astype(db_ref_.dtype)
+        du = jnp.concatenate(dus, axis=1)
+        if has_d:
+            dval = dval_ref[0].astype(jnp.float32)
+            du = du + gy * dval[None]
+            dd_ref_[0] = jnp.sum(gy * u, axis=(0, 1), keepdims=False)[None]
+        du_ref_[...] = du.astype(du_ref_.dtype)
+        ddt = jnp.concatenate(ddts, axis=1)
+        if softplus:
+            ddt = ddt * jax.nn.sigmoid(dt_pre)
+        ddt = ddt * mask
+        ddt_ref_[...] = ddt.astype(ddt_ref_.dtype)
+        dbias_ref_[0] = jnp.sum(ddt, axis=(0, 1), keepdims=False)[None]
+
+    epilogue(daf_ref, dcf_ref, dbf_ref, duf_ref, ddtf_ref, ddf_ref,
+             dbiasf_ref, daf_acc, dcsf, dbsf, dusf, ddtsf, gyf, uf, df_ref,
+             dtf_pre, maskf)
+    epilogue(dab_ref, dcb_ref, dbb_ref, dub_ref, ddtb_ref, ddb_ref,
+             dbiasb_ref, dab_acc, dcsb, dbsb, dusb, ddtsb, gyb, ub, db_ref,
+             dtb_pre, maskb)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19))
@@ -1140,9 +1291,128 @@ def _short_bidir_core_fwd(uf, dtf, Af, Bf, Cf, Df, zf, biasf,
 
 
 def _short_bidir_core_bwd(softplus, bt, dtile, interpret, res, cot):
+    """Fused adjoint: ONE kernel for both directions, zero flips.
+
+    Measured on-chip (TimeMamba-B train step): the unfused path paid two
+    31.3 ms single-direction bwd kernel sweeps + ~8 ms of flip copies per
+    step; the fused kernel interleaves both adjoint recurrences in one
+    loop. Multi-group B/C falls back to the flip path (the fused kernel's
+    block specs assume one group, which is all the bidir entry accepts)."""
+    (uf, dtf, Af, Bf, Cf, Df, zf, biasf,
+     ub, dtb, Ab, Bb, Cb, Db, zb, biasb) = res
+    gf, gb = cot
+    single_group = ((Bf.ndim == 3 or Bf.shape[2] == 1)
+                    and (Bb.ndim == 3 or Bb.shape[2] == 1))
+    if single_group:
+        return _short_bidir_bwd_impl(
+            softplus, bt, dtile, interpret, res, (gf, gb))
+    return _short_bidir_core_bwd_flip(
+        softplus, bt, dtile, interpret, res, (gf, gb))
+
+
+def _short_bidir_bwd_impl(softplus, bt, dtile, interpret, res, cot):
+    (uf, dtf, Af, Bf, Cf, Df, zf, biasf,
+     ub, dtb, Ab, Bb, Cb, Db, zb, biasb) = res
+    gf, gb = cot
+    batch, seqlen, dim = uf.shape
+    dstate = Af.shape[1]
+    has_d, has_z = Df is not None, zf is not None
+    c = _round_up(seqlen, 8)
+    # TWO per-step h lists live in VMEM — cap the batch tile (swept
+    # on-chip at the TimeMamba adapter shape; see the constant below)
+    bt = min(bt, max(1, SHORT_BIDIR_BT_ELEMS_BWD // c))
+
+    def prep(u, dt, A, B, C, D, z, bias, g):
+        B4 = B[:, :, None] if B.ndim == 3 else B
+        C4 = C[:, :, None] if C.ndim == 3 else C
+        up, dtp, Bp, Cp, zp, gp, bp, dp = _short_pad(
+            u, dt, B4, C4, z, g, bt, c, dtile)
+        At, Dp, biasp = _pad_params(A, D, bias, dim, dp)
+        if zp is None:
+            zp = jnp.zeros((bp, 1, dp), u.dtype)
+        return up, dtp, At, Bp, Cp, Dp, zp, biasp, gp, bp, dp
+
+    upf, dtpf, Atf, Bpf, Cpf, Dpf, zpf, biaspf, gpf, bp, dp = prep(
+        uf, dtf, Af, Bf, Cf, Df, zf, biasf, gf)
+    upb, dtpb, Atb, Bpb, Cpb, Dpb, zpb, biaspb, gpb, _, _ = prep(
+        ub, dtb, Ab, Bb, Cb, Db, zb, biasb, gb)
+    nbt, ndt = bp // bt, dp // dtile
+
+    ld = pl.BlockSpec((bt, c, dtile), lambda bi, di: (bi, 0, di),
+                      memory_space=pltpu.VMEM)
+    ln = pl.BlockSpec((1, bt, c, dstate), lambda bi, di: (0, bi, 0, 0),
+                      memory_space=pltpu.VMEM)
+    zs = ld if has_z else pl.BlockSpec((bt, 1, dtile),
+                                       lambda bi, di: (bi, 0, di),
+                                       memory_space=pltpu.VMEM)
+    a_s = pl.BlockSpec((dstate, dtile), lambda bi, di: (0, di),
+                       memory_space=pltpu.VMEM)
+    v_s = pl.BlockSpec((1, dtile), lambda bi, di: (0, di),
+                       memory_space=pltpu.VMEM)
+    da_s = pl.BlockSpec((1, dstate, dtile), lambda bi, di: (bi, 0, di),
+                        memory_space=pltpu.VMEM)
+    dvec_s = pl.BlockSpec((1, 1, dtile), lambda bi, di: (bi, 0, di),
+                          memory_space=pltpu.VMEM)
+    bc_s = pl.BlockSpec((1, bt, c, dstate), lambda bi, di: (di, bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _short_bidir_bwd_kernel, softplus=softplus, has_d=has_d,
+        has_z=has_z, seqlen=seqlen)
+
+    def shapes(u, dt, z):
+        return [
+            jax.ShapeDtypeStruct((bp, c, dp), u.dtype),            # du
+            jax.ShapeDtypeStruct((bp, c, dp), dt.dtype),           # ddelta
+            jax.ShapeDtypeStruct((nbt, dstate, dp), jnp.float32),  # dA parts
+            jax.ShapeDtypeStruct((ndt, bp, c, dstate), jnp.float32),  # dB
+            jax.ShapeDtypeStruct((ndt, bp, c, dstate), jnp.float32),  # dC
+            jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dD parts
+            jax.ShapeDtypeStruct((bp, c, dp),
+                                 z.dtype if has_z else jnp.float32),  # dz
+            jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dbias
+        ]
+
+    out_specs_one = [ld, ld, da_s, bc_s, bc_s, dvec_s, ld, dvec_s]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nbt, ndt),
+        in_specs=[ld, ld, a_s, ln, ln, v_s, zs, v_s, ld] * 2,
+        out_specs=out_specs_one * 2,
+        out_shape=shapes(uf, dtf, zf) + shapes(ub, dtb, zb),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=SHORT_BWD_VMEM_LIMIT if not interpret else None,
+        ),
+        interpret=interpret,
+    )(upf, dtpf, Atf, Bpf, Cpf, Dpf, zpf, biaspf, gpf,
+      upb, dtpb, Atb, Bpb, Cpb, Dpb, zpb, biaspb, gpb)
+
+    def reduce_one(outs8, u, dt, A, B, C, D, z, bias):
+        du, ddelta, dA_p, dB_p, dC_p, dD_p, dz, dbias_p = outs8
+        du = du[:batch, :seqlen, :dim].astype(u.dtype)
+        ddelta = ddelta[:batch, :seqlen, :dim].astype(dt.dtype)
+        dA = jnp.sum(dA_p, axis=0)[:, :dim].T.astype(A.dtype)
+        dB = jnp.sum(dB_p, axis=0)[:batch, :seqlen].astype(B.dtype)
+        dC = jnp.sum(dC_p, axis=0)[:batch, :seqlen].astype(C.dtype)
+        if B.ndim == 4:
+            dB, dC = dB[:, :, None], dC[:, :, None]
+        dD = (jnp.sum(dD_p, axis=(0, 1))[:dim].astype(D.dtype)
+              if has_d else None)
+        dz = dz[:batch, :seqlen, :dim].astype(z.dtype) if has_z else None
+        dbias = (jnp.sum(dbias_p, axis=(0, 1))[:dim].astype(bias.dtype)
+                 if bias is not None else None)
+        return du, ddelta, dA, dB, dC, dD, dz, dbias
+
+    grads_f = reduce_one(outs[:8], uf, dtf, Af, Bf, Cf, Df, zf, biasf)
+    grads_b = reduce_one(outs[8:], ub, dtb, Ab, Bb, Cb, Db, zb, biasb)
+    return grads_f + grads_b
+
+
+def _short_bidir_core_bwd_flip(softplus, bt, dtile, interpret, res, cot):
     """Per-direction adjoints via the single-direction bwd kernel: direction
     b == flip∘scan∘flip, so its grads are the flipped single-direction grads
-    of the flipped inputs (host flips only on the training path)."""
+    of the flipped inputs (host flips only on the training path). Fallback
+    for grouped B/C; the fused kernel above is the production path."""
     (uf, dtf, Af, Bf, Cf, Df, zf, biasf,
      ub, dtb, Ab, Bb, Cb, Db, zb, biasb) = res
     gf, gb = cot
