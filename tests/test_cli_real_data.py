@@ -230,3 +230,75 @@ def test_cli_egocentric_real_files(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "epoch 0" in out
+
+
+def test_cli_egocentric_mir_real_files(tmp_path, capsys):
+    """EK100 MIR finetune engine via the CLI (train.mode=mir): contrastive
+    finetune on real clip files + retrieval eval
+    (main_lavila_finetune_mir.py equivalent)."""
+    from video_mamba_suite_tpu.data.video import VideoDecoder
+
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    rng = np.random.default_rng(7)
+    metadata = []
+    for i in range(4):
+        name = f"mir{i}.npy"
+        clip = rng.integers(0, 255, (6, 16, 16, 3), dtype=np.uint8)
+        np.save(vdir / name, clip)
+        metadata.append(dict(video=name, caption=f"cut the {i} vegetable"))
+    try:
+        VideoDecoder(str(vdir / "mir0.npy"))
+    except Exception:
+        pytest.skip("no npy-clip decode support in data.video")
+    meta = tmp_path / "meta.json"
+    meta.write_text(json.dumps(metadata))
+
+    main([
+        "egocentric", "--epochs", "1", "--set", "train.mode=mir",
+        f"dataset.metadata_json={meta}", f"dataset.video_root={vdir}",
+        "dataset.context_length=8",
+        "model.num_frames=2", "model.depth=1", "model.vision_width=16",
+        "model.embed_dim=8", "model.vision_tower=vivim",
+        "model.img_size=16", "model.patch_size=8",
+        "model.text_width=16", "model.text_heads=2", "model.text_layers=1",
+        "loader.batch_size=2",
+    ])
+    out = capsys.readouterr().out
+    assert "epoch 0" in out
+    assert "avg_map" in out
+
+
+def test_cli_egocentric_cls_real_files(tmp_path, capsys):
+    """EK100 CLS finetune engine via the CLI (train.mode=cls): classifier
+    head on the visual tower from a labels CSV
+    (main_lavila_finetune_cls.py equivalent)."""
+    from video_mamba_suite_tpu.data.video import VideoDecoder
+
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(4):
+        name = f"cls{i}.npy"
+        clip = rng.integers(0, 255, (6, 16, 16, 3), dtype=np.uint8)
+        np.save(vdir / name, clip)
+        rows.append(f"{name} {i % 2}")
+    try:
+        VideoDecoder(str(vdir / "cls0.npy"))
+    except Exception:
+        pytest.skip("no npy-clip decode support in data.video")
+    csv = tmp_path / "train.csv"
+    csv.write_text("\n".join(rows) + "\n")
+
+    main([
+        "egocentric", "--epochs", "1", "--set", "train.mode=cls",
+        f"dataset.csv_path={csv}", f"dataset.video_root={vdir}",
+        "dataset.num_classes=2",
+        "model.num_frames=2", "model.depth=1", "model.embed_dim=16",
+        "model.img_size=16", "model.patch_size=8",
+        "loader.batch_size=2",
+    ])
+    out = capsys.readouterr().out
+    assert "epoch 0" in out
+    assert "action_top1" in out

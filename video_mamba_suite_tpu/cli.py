@@ -619,11 +619,193 @@ def run_recognition(cfg, epochs, synthetic, ckpt=None):
     print("eval:", tr.evaluate(videos, labels))
 
 
+def _run_ego_mir(cfg, epochs, synthetic, ckpt=None):
+    """EK100 MIR finetune engine (main_lavila_finetune_mir.py equivalent):
+    contrastive finetune + retrieval mAP/nDCG eval."""
+    import numpy as np
+
+    from .models.clip import CLIP
+    from .tasks.egocentric.finetune import MirFinetuner
+
+    m = cfg.get("model", {})
+    if not synthetic and _has(cfg, "metadata_json", "video_root"):
+        from .data.tokenizer import WordTokenizer
+        from .data.video_datasets import VideoCaptionDataset
+
+        d = _ds(cfg)
+        with open(d["metadata_json"]) as f:
+            metadata = json.load(f)
+        tok = WordTokenizer(corpus=[x.get("caption", "") for x in metadata],
+                            context_length=d.get("context_length", 77))
+        ds = VideoCaptionDataset(metadata, d["video_root"],
+                                 num_frames=m.get("num_frames", 4))
+        model = _build_ego_clip(cfg, tok.vocab_size)
+        ft = MirFinetuner(model, lr=_opt(cfg, "learning_rate", 1e-5),
+                          weight_decay=_opt(cfg, "weight_decay", 0.01),
+                          use_mesh=_mesh(cfg))
+        bs = cfg.get("loader", {}).get("batch_size", 8)
+        rng = np.random.default_rng(0)
+
+        def batch(rows):
+            videos = np.stack(
+                [r["frames"].astype(np.float32) / 255.0 for r in rows])
+            texts = np.stack([np.asarray(tok([r["caption"]])[0], np.int64)
+                              for r in rows])
+            return videos, texts
+
+        v0, t0 = batch([ds[0]])
+        start = _maybe_resume(ckpt, lambda: ft.restore(ckpt, v0, t0))
+        for ep in range(start, epochs):
+            order = rng.permutation(len(ds))
+            for i in range(0, len(ds) - bs + 1, bs):
+                videos, texts = batch([ds[j] for j in order[i:i + bs]])
+                loss = ft.train_step(videos, texts)
+            print(f"epoch {ep}: loss {loss:.4f}", flush=True)
+            if _ckpt_step(ft, ckpt, ep):
+                break
+        # retrieval eval over the (train==val here unless eval json given)
+        videos, texts = batch([ds[i] for i in range(len(ds))])
+        rel = np.load(d["relevancy_npy"]) if "relevancy_npy" in d else \
+            np.eye(len(ds), dtype=np.float32)
+        print("eval:", ft.evaluate(videos, texts, rel, batch_size=bs))
+        return
+
+    model = CLIP(
+        embed_dim=16, vision_tower="vivim",
+        vision_cfg=dict(img_size=32, patch_size=16, num_frames=2, depth=2,
+                        embed_dim=32),
+        text_cfg=dict(context_length=8, vocab_size=50, width=32, heads=4,
+                      layers=2),
+    )
+    ft = MirFinetuner(model, lr=1e-3, use_mesh=_mesh(cfg))
+    rng = np.random.default_rng(0)
+    videos = np.stack([
+        np.full((2, 32, 32, 3), i / 4.0, np.float32)
+        + 0.05 * rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        for i in range(4)
+    ])
+    texts = np.stack([np.full((8,), i + 1, np.int64) for i in range(4)])
+    for _ in range(epochs * 10):
+        loss = ft.train_step(videos, texts)
+    res = ft.evaluate(videos, texts, np.eye(4, dtype=np.float32),
+                      batch_size=4)
+    print(f"loss {loss:.4f}, avg_map {res['avg_map']:.2f}, "
+          f"avg_ndcg {res['avg_ndcg']:.2f}")
+
+
+def _run_ego_cls(cfg, epochs, synthetic, ckpt=None):
+    """EK100 CLS finetune engine (main_lavila_finetune_cls.py equivalent):
+    classifier head on the visual tower, smoothing/mixup CE, verb/noun
+    marginalization eval."""
+    import numpy as np
+
+    from .models.vivim import ViViM
+    from .tasks.egocentric.finetune import ClsFinetuner
+
+    m = cfg.get("model", {})
+    if not synthetic and _has(cfg, "csv_path", "video_root"):
+        from .data.video_datasets import VideoClassificationDataset
+
+        d = _ds(cfg)
+        ds = VideoClassificationDataset(
+            d["csv_path"], d["video_root"],
+            num_frames=m.get("num_frames", 16))
+        nc = d.get("num_classes", 1 + max(ds[i]["label"]
+                                          for i in range(len(ds))))
+        tower = ViViM(img_size=m.get("img_size", 224),
+                      patch_size=m.get("patch_size", 16),
+                      num_frames=m.get("num_frames", 16),
+                      depth=m.get("depth", 24),
+                      embed_dim=m.get("embed_dim", 192), num_classes=0)
+        bs = cfg.get("loader", {}).get("batch_size", 8)
+        steps = max(len(ds) // bs, 1) * max(epochs, 1)
+        ft = ClsFinetuner(
+            tower, num_classes=nc, lr=_opt(cfg, "learning_rate", 1e-4),
+            weight_decay=_opt(cfg, "weight_decay", 0.05),
+            smoothing=cfg.get("aug", {}).get("smoothing", 0.1),
+            mixup_alpha=cfg.get("aug", {}).get("mixup", 0.0),
+            cutmix_alpha=cfg.get("aug", {}).get("cutmix", 0.0),
+            warmup_steps=min(steps // 10 + 1, 100), total_steps=steps,
+            use_mesh=_mesh(cfg))
+        rng = np.random.default_rng(0)
+        # frames come back (V, T, H, W, 3); V=1 while training
+        v0 = np.stack([ds[0]["frames"][0].astype(np.float32) / 255.0])
+        start = _maybe_resume(ckpt, lambda: ft.restore(ckpt, v0))
+        for ep in range(start, epochs):
+            order = rng.permutation(len(ds))
+            for i in range(0, len(ds) - bs + 1, bs):
+                rows = [ds[j] for j in order[i:i + bs]]
+                videos = np.stack(
+                    [r["frames"][0].astype(np.float32) / 255.0 for r in rows])
+                labels = np.asarray([r["label"] for r in rows], np.int32)
+                loss = ft.train_step(videos, labels)
+            print(f"epoch {ep}: loss {loss:.4f}", flush=True)
+            if _ckpt_step(ft, ckpt, ep):
+                break
+        videos = np.stack([ds[i]["frames"][0].astype(np.float32) / 255.0
+                           for i in range(len(ds))])
+        labels = np.asarray([ds[i]["label"] for i in range(len(ds))],
+                            np.int32)
+        print("eval:", ft.evaluate(videos, labels))
+        return
+
+    rng = np.random.default_rng(2)
+    n, n_act = 12, 4
+    videos = rng.standard_normal((n, 2, 16, 16, 3)).astype(np.float32)
+    labels = (np.arange(n) % n_act).astype(np.int32)
+    for i, l in enumerate(labels):
+        videos[i] += 2.0 * (l - 1.5)
+    tower = ViViM(img_size=16, patch_size=8, num_frames=2, depth=1,
+                  embed_dim=16, num_classes=0)
+    ft = ClsFinetuner(tower, num_classes=n_act, lr=1e-2, dropout=0.0,
+                      smoothing=0.0, warmup_steps=5, total_steps=300,
+                      use_mesh=_mesh(cfg))
+    for _ in range(epochs * 10):
+        loss = ft.train_step(videos, labels)
+    res = ft.evaluate(videos, labels)
+    print(f"loss {loss:.4f}, action top-1 {res['action_top1']:.1f}")
+
+
+def _build_ego_clip(cfg, vocab_size):
+    from .models.clip import CLIP
+
+    m, d = cfg.get("model", {}), _ds(cfg)
+    tower = m.get("vision_tower", "timemamba")
+    vision_cfg = dict(num_frames=m.get("num_frames", 4),
+                      depth=m.get("depth", 12),
+                      embed_dim=m.get("vision_width", 768),
+                      img_size=m.get("img_size", 224),
+                      patch_size=m.get("patch_size", 16))
+    if tower == "timemamba":
+        vision_cfg.update(
+            ln_pre=True, scan_blocks=True,
+            attention_style=m.get("attention_style", "frozen-in-time"),
+            is_tanh_gating=m.get("is_tanh_gating", False))
+    return CLIP(
+        embed_dim=m.get("embed_dim", 512),
+        vision_tower=tower,
+        vision_cfg=vision_cfg,
+        text_cfg=dict(context_length=d.get("context_length", 77),
+                      vocab_size=vocab_size,
+                      width=m.get("text_width", 512),
+                      heads=m.get("text_heads", 8),
+                      layers=m.get("text_layers", 12)),
+    )
+
+
 def run_egocentric(cfg, epochs, synthetic, ckpt=None):
     import numpy as np
 
     from .models.clip import CLIP
     from .tasks.egocentric import ClipPretrainer
+
+    # engine select (the reference ships three separate mains:
+    # main_lavila_pretrain.py / _finetune_mir.py / _finetune_cls.py)
+    mode = cfg.get("train", {}).get("mode", "pretrain")
+    if mode == "mir":
+        return _run_ego_mir(cfg, epochs, synthetic, ckpt)
+    if mode == "cls":
+        return _run_ego_cls(cfg, epochs, synthetic, ckpt)
 
     if not synthetic and _has(cfg, "metadata_json", "video_root"):
         from .data.tokenizer import WordTokenizer

@@ -122,6 +122,26 @@ PRESETS: Dict[str, Dict[str, Any]] = {
                  warmup_epochs=1),
         loader=dict(batch_size=256, context_length=77),
     ),
+    # --- EK100 MIR finetune engine (scripts/mir_ft/*.sh →
+    # main_lavila_finetune_mir.py defaults: lr 1e-5, wd 0.01, bs 64)
+    "ego_ek100_mir": dict(
+        train=dict(mode="mir"),
+        model=dict(vision_tower="timemamba", embed_dim=512, depth=12,
+                   num_frames=16, vision_width=768, is_tanh_gating=True),
+        opt=dict(learning_rate=1e-5, weight_decay=0.01, epochs=10),
+        loader=dict(batch_size=64, context_length=77),
+    ),
+    # --- EK100 CLS finetune engine (scripts/cls_ft/*.sh →
+    # main_lavila_finetune_cls.py defaults: lr 1e-4, wd 0.05, smoothing 0.1)
+    "ego_ek100_cls": dict(
+        train=dict(mode="cls"),
+        model=dict(embed_dim=192, depth=24, num_frames=16, patch_size=16,
+                   img_size=224),
+        dataset=dict(num_classes=3806),  # EK100 action classes
+        opt=dict(learning_rate=1e-4, weight_decay=0.05, epochs=30),
+        aug=dict(smoothing=0.1, mixup=0.8, cutmix=1.0),
+        loader=dict(batch_size=32),
+    ),
     # --- Action recognition: ViViM-T K400 finetune
     # (exp/k400/vivim_tiny/run_f16x224.sh)
     "recognition_k400_vivim_tiny": dict(
