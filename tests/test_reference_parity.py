@@ -134,3 +134,108 @@ def test_reference_dbm_mamba_parity():
 # anticipation suite requires the *upstream* mamba_ssm in a separate env
 # (SURVEY.md §2.3). MambaCausal parity is covered by
 # tests/test_convert.py::test_converted_mixer_matches_torch_reference.
+
+
+def _torch_grad_dict(ref):
+    """named_parameters → a state_dict-shaped dict of GRADIENTS. The
+    convert_* weight mappers are pure re-layouts (transpose/slice/rename),
+    so applying them to this dict yields the cotangents in our layout."""
+    return {name: p.grad.detach().clone()
+            for name, p in ref.named_parameters() if p.grad is not None}
+
+
+def test_reference_vim_mamba_grad_parity():
+    """Cross-codebase GRADIENT parity (the training-level proxy the fwd
+    tests can't give): d(loss)/d(every param) and d(loss)/d(input) of the
+    ViM mixer vs torch autograd through the reference's own module
+    (mamba_simple.py:34-378 run on its pure-torch scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_mamba_suite_tpu.models import MambaVim
+    from video_mamba_suite_tpu.models.convert import convert_vim_mixer
+
+    ms, _ = _import_reference()
+    torch.manual_seed(0)
+    d_model, d_state, d_conv, expand = 16, 8, 4, 2
+    ref = ms.Mamba(d_model=d_model, d_state=d_state, d_conv=d_conv,
+                   expand=expand, use_fast_path=False, bimamba_type="v2",
+                   layer_idx=0)
+    ref.eval()
+    gen = torch.Generator().manual_seed(3)
+    x_t = torch.randn(2, 12, d_model, generator=gen).requires_grad_(True)
+    g = torch.randn(2, 12, d_model, generator=gen)
+
+    ref(x_t).backward(g)
+    want_param_grads = convert_vim_mixer(_torch_grad_dict(ref))
+    want_x_grad = x_t.grad.numpy()
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_vim_mixer(ref.state_dict()))
+    ours = MambaVim(d_model=d_model, d_state=d_state, d_conv=d_conv,
+                    expand=expand, impl="ref")
+    gj = jnp.asarray(g.numpy())
+
+    def loss(p, x):
+        return jnp.sum(ours.apply({"params": p}, x) * gj)
+
+    got_param_grads, got_x_grad = jax.grad(loss, argnums=(0, 1))(
+        params, jnp.asarray(x_t.detach().numpy()))
+
+    np.testing.assert_allclose(np.asarray(got_x_grad), want_x_grad,
+                               rtol=1e-3, atol=1e-4)
+    flat_got = jax.tree_util.tree_leaves_with_path(got_param_grads)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(lambda t: np.asarray(t), want_param_grads)))
+    assert len(flat_got) == len(flat_want)
+    for path, leaf in flat_got:
+        np.testing.assert_allclose(
+            np.asarray(leaf), flat_want[path], rtol=1e-3, atol=1e-4,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_reference_dbm_mamba_grad_parity():
+    """Same gradient-parity check for the DBM mixer: the reference's
+    batch-concat trick (mamba_new.py:192-214) vs our two shared-weight
+    calls must agree in GRADIENTS too (shared params accumulate both
+    directions' cotangents)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_mamba_suite_tpu.models import MambaDBM
+    from video_mamba_suite_tpu.models.convert import convert_dbm_mixer
+
+    _, mn = _import_reference()
+    torch.manual_seed(0)
+    d_model, expand = 16, 1
+    ref = mn.Mamba(d_model=d_model, expand=expand, layer_idx=0)
+    ref.eval()
+    gen = torch.Generator().manual_seed(4)
+    x_t = torch.randn(2, 10, d_model, generator=gen).requires_grad_(True)
+    g = torch.randn(2, 10, d_model, generator=gen)
+
+    ref(x_t).backward(g)
+    want_param_grads = convert_dbm_mixer(_torch_grad_dict(ref))
+    want_x_grad = x_t.grad.numpy()
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_dbm_mixer(ref.state_dict()))
+    ours = MambaDBM(d_model=d_model, expand=expand, impl="ref")
+    gj = jnp.asarray(g.numpy())
+
+    def loss(p, x):
+        return jnp.sum(ours.apply({"params": p}, x) * gj)
+
+    got_param_grads, got_x_grad = jax.grad(loss, argnums=(0, 1))(
+        params, jnp.asarray(x_t.detach().numpy()))
+
+    np.testing.assert_allclose(np.asarray(got_x_grad), want_x_grad,
+                               rtol=1e-3, atol=1e-4)
+    flat_got = jax.tree_util.tree_leaves_with_path(got_param_grads)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(lambda t: np.asarray(t), want_param_grads)))
+    assert len(flat_got) == len(flat_want)
+    for path, leaf in flat_got:
+        np.testing.assert_allclose(
+            np.asarray(leaf), flat_want[path], rtol=1e-3, atol=1e-4,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")

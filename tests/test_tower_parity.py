@@ -158,3 +158,77 @@ def test_text_transformer_parity(avion):
             == jax.tree_util.tree_map(lambda a: a.shape, params["params"]))
     got = np.asarray(ours.apply(params, tj))
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_spacetime_block_grad_parity(avion):
+    """GRADIENT parity of one whole SpaceTimeBlock vs torch autograd through
+    the reference's own module: every parameter cotangent (adapter scan,
+    patch-major spatial attention, MLP, LNs, tanh gate) plus the input
+    cotangent. The convert_* mappers are pure re-layouts, so applying them
+    to the torch .grad dict yields the expected grads in our layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_mamba_suite_tpu.models.convert import (
+        convert_attention,
+        convert_layernorm,
+        convert_mlp,
+        convert_vim_mixer,
+    )
+    from video_mamba_suite_tpu.models.timemamba import SpaceTimeBlock
+
+    tm, _, _ = avion
+    torch.manual_seed(0)
+    dim, heads, n, t, B = 32, 4, 4, 3, 2
+    ref = tm.SpaceTimeBlock(dim=dim, num_heads=heads,
+                            attention_style="frozen-in-time",
+                            is_tanh_gating=True)
+    ref.attn.batch_first = True
+    ref.eval()
+    gen = torch.Generator().manual_seed(5)
+    x_t = torch.randn(B, 1 + n * t, dim, generator=gen).requires_grad_(True)
+    g = torch.randn(B, 1 + n * t, dim, generator=gen)
+    ref(x_t, time_n=n, space_f=t).backward(g)
+    want_x_grad = x_t.grad.numpy()
+
+    def convert_block(sd):
+        return {
+            "norm1": convert_layernorm(sd, "norm1."),
+            "norm2": convert_layernorm(sd, "norm2."),
+            "norm3": convert_layernorm(sd, "norm3."),
+            "attn": convert_attention(sd, "attn.", heads),
+            "mlp": convert_mlp(sd, "mlp."),
+            "time_mamba": convert_vim_mixer(sd, "time_mamba."),
+            "alpha_timeattn": np.asarray(sd["alpha_timeattn"]),
+        }
+
+    grads_sd = {name: p.grad.detach().clone()
+                for name, p in ref.named_parameters() if p.grad is not None}
+    want_param_grads = jax.tree_util.tree_map(
+        lambda v: np.asarray(v), convert_block(grads_sd))
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_block(ref.state_dict()))
+
+    ours = SpaceTimeBlock(dim=dim, num_heads=heads, is_tanh_gating=True,
+                          attention_style="frozen-in-time", impl="ref")
+    gj = jnp.asarray(g.numpy())
+
+    def loss(p, x):
+        cls, patches = x[:, :1], x[:, 1:].reshape(B, n, t, dim)
+        cls_o, patches_o = ours.apply({"params": p}, cls, patches)
+        out = jnp.concatenate(
+            [cls_o, patches_o.reshape(B, n * t, dim)], axis=1)
+        return jnp.sum(out * gj)
+
+    got_param_grads, got_x_grad = jax.grad(loss, argnums=(0, 1))(
+        params, jnp.asarray(x_t.detach().numpy()))
+
+    np.testing.assert_allclose(np.asarray(got_x_grad), want_x_grad,
+                               rtol=2e-3, atol=2e-4)
+    flat_got = jax.tree_util.tree_leaves_with_path(got_param_grads)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(want_param_grads))
+    assert len(flat_got) == len(flat_want)
+    for path, leaf in flat_got:
+        np.testing.assert_allclose(
+            np.asarray(leaf), flat_want[path], rtol=2e-3, atol=2e-4,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
