@@ -818,27 +818,7 @@ def run_egocentric(cfg, epochs, synthetic, ckpt=None):
                             context_length=d.get("context_length", 77))
         ds = VideoCaptionDataset(metadata, d["video_root"],
                                  num_frames=m.get("num_frames", 4))
-        tower = m.get("vision_tower", "timemamba")
-        vision_cfg = dict(num_frames=m.get("num_frames", 4),
-                          depth=m.get("depth", 12),
-                          embed_dim=m.get("vision_width", 768),
-                          img_size=m.get("img_size", 224),
-                          patch_size=m.get("patch_size", 16))
-        if tower == "timemamba":
-            vision_cfg.update(
-                ln_pre=True, scan_blocks=True,
-                attention_style=m.get("attention_style", "frozen-in-time"),
-                is_tanh_gating=m.get("is_tanh_gating", False))
-        model = CLIP(
-            embed_dim=m.get("embed_dim", 512),
-            vision_tower=tower,
-            vision_cfg=vision_cfg,
-            text_cfg=dict(context_length=d.get("context_length", 77),
-                          vocab_size=tok.vocab_size,
-                          width=m.get("text_width", 512),
-                          heads=m.get("text_heads", 8),
-                          layers=m.get("text_layers", 12)),
-        )
+        model = _build_ego_clip(cfg, tok.vocab_size)
         tr = ClipPretrainer(model, lr=_opt(cfg, "learning_rate", 3e-5),
                             use_mesh=_mesh(cfg))
         bs = cfg.get("loader", {}).get("batch_size", 8)
