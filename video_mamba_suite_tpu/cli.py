@@ -66,6 +66,19 @@ def _mesh(cfg) -> bool:
     return bool(cfg.get("train", {}).get("use_mesh", False))
 
 
+def _epoch_order(n, ep, seed=0):
+    """Epoch-seeded per-process sample order (DistributedSampler semantics,
+    data.sampler.ShardedSampler): single-process this is a plain shuffled
+    epoch; multi-host each process walks ITS disjoint shard, so the global
+    batches TrainerCore.shard assembles carry distinct data. batch_size
+    stays per-process (the torch DDP convention)."""
+    from .data.sampler import ShardedSampler
+
+    s = ShardedSampler(n, shuffle=True, seed=seed)
+    s.set_epoch(ep)
+    return list(s)
+
+
 _WATCHER = None  # PreemptionWatcher installed by main(); loops poll it
 
 
@@ -415,8 +428,8 @@ def run_captioning(cfg, epochs, synthetic, ckpt=None):
         f0, m0, *_ = collate_captioning(items[:1], max_seq)
         start = _maybe_resume(ckpt, lambda: tr.restore(ckpt, f0, m0))
         for ep in range(start, epochs):
-            order = _np.random.permutation(len(items))
-            for i in range(0, len(items) - bs + 1, bs):
+            order = _epoch_order(len(items), ep)
+            for i in range(0, len(order) - bs + 1, bs):
                 batch = [items[j] for j in order[i:i + bs]]
                 losses = tr.train_step(*collate_captioning(batch, max_seq))
             print(f"epoch {ep}: {losses}", flush=True)
@@ -578,8 +591,8 @@ def run_recognition(cfg, epochs, synthetic, ckpt=None):
         start = _maybe_resume(ckpt, lambda: tr.restore(ckpt, np.stack(
             [ds[0]["frames"][0].astype(np.float32) / 255.0])))
         for ep in range(start, epochs):
-            order = rng.permutation(len(ds))
-            for i in range(0, len(ds) - bs + 1, bs):
+            order = _epoch_order(len(ds), ep)
+            for i in range(0, len(order) - bs + 1, bs):
                 rows = [ds[j] for j in order[i:i + bs]]
                 if aug_fn is not None:
                     videos = np.stack([
@@ -656,8 +669,8 @@ def _run_ego_mir(cfg, epochs, synthetic, ckpt=None):
         v0, t0 = batch([ds[0]])
         start = _maybe_resume(ckpt, lambda: ft.restore(ckpt, v0, t0))
         for ep in range(start, epochs):
-            order = rng.permutation(len(ds))
-            for i in range(0, len(ds) - bs + 1, bs):
+            order = _epoch_order(len(ds), ep)
+            for i in range(0, len(order) - bs + 1, bs):
                 videos, texts = batch([ds[j] for j in order[i:i + bs]])
                 loss = ft.train_step(videos, texts)
             print(f"epoch {ep}: loss {loss:.4f}", flush=True)
@@ -732,8 +745,8 @@ def _run_ego_cls(cfg, epochs, synthetic, ckpt=None):
         v0 = np.stack([ds[0]["frames"][0].astype(np.float32) / 255.0])
         start = _maybe_resume(ckpt, lambda: ft.restore(ckpt, v0))
         for ep in range(start, epochs):
-            order = rng.permutation(len(ds))
-            for i in range(0, len(ds) - bs + 1, bs):
+            order = _epoch_order(len(ds), ep)
+            for i in range(0, len(order) - bs + 1, bs):
                 rows = [ds[j] for j in order[i:i + bs]]
                 videos = np.stack(
                     [r["frames"][0].astype(np.float32) / 255.0 for r in rows])
@@ -828,8 +841,8 @@ def run_egocentric(cfg, epochs, synthetic, ckpt=None):
             ckpt, np.stack([r0["frames"].astype(np.float32) / 255.0]),
             np.stack([np.asarray(tok([r0["caption"]])[0], np.int64)])))
         for ep in range(start, epochs):
-            order = rng.permutation(len(ds))
-            for i in range(0, len(ds) - bs + 1, bs):
+            order = _epoch_order(len(ds), ep)
+            for i in range(0, len(order) - bs + 1, bs):
                 rows = [ds[j] for j in order[i:i + bs]]
                 videos = np.stack(
                     [r["frames"].astype(np.float32) / 255.0 for r in rows])
