@@ -232,10 +232,27 @@ def main():
 
     _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    bench_scan()
-    clips_pallas = bench_timemamba("pallas")
-    clips_assoc = bench_timemamba("assoc")
-    bench_train_step()
+    def _safe(label, fn, *a, **k):
+        """Stderr extras must never kill the primary JSON line: the
+        tunneled remote-compile service flakes occasionally (HTTP 500/413
+        observed); degrade to a SKIPPED note instead."""
+        try:
+            return fn(*a, **k)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {label} SKIPPED "
+                  f"({type(e).__name__}: {str(e)[:120]})", file=sys.stderr)
+            return None
+
+    _safe("selective_scan microbench", bench_scan)
+    try:
+        clips_pallas = bench_timemamba("pallas")
+    except Exception as e:  # noqa: BLE001 — retry the PRIMARY metric once
+        print(f"[bench] primary retry after {type(e).__name__}",
+              file=sys.stderr)
+        time.sleep(10)
+        clips_pallas = bench_timemamba("pallas")
+    clips_assoc = _safe("assoc comparison", bench_timemamba, "assoc")
+    _safe("train step", bench_train_step)
 
     from benchmarks.profile_timemamba import timemamba_flops
 
@@ -243,11 +260,12 @@ def main():
     A100_CLIPS_EST = 165.0  # documented estimate, see module docstring
     flops_per_clip = timemamba_flops(1)
     mfu = clips_pallas * flops_per_clip / V5E_PEAK
+    ratio = (f", {clips_pallas / clips_assoc:.1f}x vs XLA assoc path"
+             if clips_assoc else "")
     print(
         f"[bench] TimeMamba-B: {clips_pallas:.1f} clips/s = "
         f"{100 * mfu:.1f}% MFU on v5e "
-        f"({flops_per_clip / 1e9:.0f} GF/clip, {clips_pallas / clips_assoc:.1f}x "
-        f"vs XLA assoc path)",
+        f"({flops_per_clip / 1e9:.0f} GF/clip{ratio})",
         file=sys.stderr,
     )
     print(json.dumps({
