@@ -232,3 +232,114 @@ def test_spacetime_block_grad_parity(avion):
         np.testing.assert_allclose(
             np.asarray(leaf), flat_want[path], rtol=2e-3, atol=2e-4,
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def _grad_state_dict(ref):
+    """state_dict-shaped dict of gradients: zero-seeded from the weights
+    (buffers / unused params → zeros, matching jax's zero cotangents) then
+    overwritten with torch autograd's .grad where present."""
+    sd = ref.state_dict()
+    out = {k: torch.zeros_like(v) for k, v in sd.items()}
+    for name, p in ref.named_parameters():
+        if p.grad is not None:
+            out[name] = p.grad.detach().clone()
+    return out
+
+
+def _assert_tree_close(got_tree, want_tree, rtol, atol):
+    import jax
+
+    flat_got = jax.tree_util.tree_leaves_with_path(got_tree)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(want_tree))
+    assert len(flat_got) == len(flat_want)
+    for path, leaf in flat_got:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_want[path]), rtol=rtol,
+            atol=atol, err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_vivim_grad_parity(avion):
+    """GRADIENT parity of the 2-layer ViViM tower (patch embed, cls/pos/
+    temporal embeds, bidirectional mixers, projection) vs torch autograd."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_mamba_suite_tpu.models.convert import convert_vivim
+    from video_mamba_suite_tpu.models.vivim import ViViM
+
+    _, vm, _ = avion
+    torch.manual_seed(0)
+    ref = vm.ViViM(
+        img_size=32, patch_size=16, num_frames=2, stride=16, depth=2,
+        embed_dim=32, channels=3, num_classes=0, rms_norm=False,
+        fused_add_norm=False, residual_in_fp32=True, bimamba_type="v2",
+        if_cls_token=True, if_abs_pos_embed=True, if_devide_out=True,
+        use_middle_cls_token=True, final_pool_type="mean", output_dim=16,
+        drop_path_rate=0.0,
+    )
+    ref.eval()
+    gen = torch.Generator().manual_seed(6)
+    x_t = torch.randn(2, 3, 2, 32, 32, generator=gen).requires_grad_(True)
+    g = torch.randn(2, 16, generator=gen)
+    ref.forward_features(x_t).backward(g)
+    want_param_grads = jax.tree_util.tree_map(
+        lambda v: np.asarray(v), convert_vivim(_grad_state_dict(ref), depth=2))
+    want_x_grad = x_t.grad.permute(0, 2, 3, 4, 1).numpy()
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_vivim(ref.state_dict(), depth=2))
+    ours = ViViM(img_size=32, patch_size=16, num_frames=2, depth=2,
+                 embed_dim=32, num_classes=0, output_dim=16,
+                 drop_path_rate=0.0, if_devide_out=True, impl="ref")
+    gj = jnp.asarray(g.numpy())
+
+    def loss(p, x):
+        return jnp.sum(ours.apply({"params": p}, x) * gj)
+
+    got_param_grads, got_x_grad = jax.grad(loss, argnums=(0, 1))(
+        params, jnp.asarray(x_t.detach().permute(0, 2, 3, 4, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(got_x_grad), want_x_grad,
+                               rtol=2e-3, atol=2e-4)
+    _assert_tree_close(got_param_grads, want_param_grads, 2e-3, 2e-4)
+
+
+def test_text_transformer_grad_parity(avion):
+    """GRADIENT parity of the CLIP text tower (token/pos embeds, causal
+    resblocks, ln_final, eot pooling, projection) vs torch autograd."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_mamba_suite_tpu.models.clip import TextTransformer
+    from video_mamba_suite_tpu.models.convert import convert_text_transformer
+
+    _, _, tr = avion
+    torch.manual_seed(0)
+    ctx, vocab, width, heads, layers, out_dim = 12, 50, 32, 4, 2, 16
+    ref = tr.TextTransformer(context_length=ctx, vocab_size=vocab,
+                             width=width, heads=heads, layers=layers,
+                             output_dim=out_dim, causal_mask=True)
+    ref.eval()
+    gen = torch.Generator().manual_seed(7)
+    text = torch.randint(1, vocab - 1, (2, ctx), generator=gen)
+    text[:, -2] = vocab - 1
+    g = torch.randn(2, out_dim, generator=gen)
+    ref(text).backward(g)
+
+    def conv(sd):
+        return convert_text_transformer(sd, layers=layers, num_heads=heads,
+                                        prefix="")
+
+    want_param_grads = jax.tree_util.tree_map(
+        lambda v: np.asarray(v), conv(_grad_state_dict(ref)))
+    params = jax.tree_util.tree_map(jnp.asarray, conv(ref.state_dict()))
+    ours = TextTransformer(context_length=ctx, vocab_size=vocab, width=width,
+                           heads=heads, layers=layers, output_dim=out_dim,
+                           causal_mask=True)
+    gj = jnp.asarray(g.numpy())
+    tj = jnp.asarray(text.numpy().astype(np.int32))
+
+    def loss(p):
+        return jnp.sum(ours.apply({"params": p}, tj) * gj)
+
+    got_param_grads = jax.grad(loss)(params)
+    _assert_tree_close(got_param_grads, want_param_grads, 2e-3, 2e-4)
