@@ -74,6 +74,16 @@ def test_is_primary_single_process():
     assert multihost.is_primary()
 
 
+def test_sharded_epoch_order():
+    from video_mamba_suite_tpu.data.sampler import sharded_epoch_order
+
+    o0 = sharded_epoch_order(10, epoch=0)
+    o1 = sharded_epoch_order(10, epoch=1)
+    assert sorted(o0) == list(range(10))      # single process: full epoch
+    assert o0 != o1                           # epoch-seeded reshuffle
+    assert o0 == sharded_epoch_order(10, epoch=0)  # deterministic
+
+
 _WORKER = textwrap.dedent("""
     import os, sys
     import jax

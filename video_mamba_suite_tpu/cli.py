@@ -67,16 +67,12 @@ def _mesh(cfg) -> bool:
 
 
 def _epoch_order(n, ep, seed=0):
-    """Epoch-seeded per-process sample order (DistributedSampler semantics,
-    data.sampler.ShardedSampler): single-process this is a plain shuffled
-    epoch; multi-host each process walks ITS disjoint shard, so the global
-    batches TrainerCore.shard assembles carry distinct data. batch_size
-    stays per-process (the torch DDP convention)."""
-    from .data.sampler import ShardedSampler
+    """Epoch-seeded per-process sample order (DistributedSampler semantics;
+    see data.sampler.sharded_epoch_order). batch_size stays per-process
+    (the torch DDP convention)."""
+    from .data.sampler import sharded_epoch_order
 
-    s = ShardedSampler(n, shuffle=True, seed=seed)
-    s.set_epoch(ep)
-    return list(s)
+    return sharded_epoch_order(n, ep, seed)
 
 
 _WATCHER = None  # PreemptionWatcher installed by main(); loops poll it

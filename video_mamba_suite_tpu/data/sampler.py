@@ -17,6 +17,16 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+def sharded_epoch_order(n: int, epoch: int, seed: int = 0) -> list:
+    """Epoch-seeded per-process sample order (DistributedSampler semantics):
+    single-process this is a plain shuffled epoch; multi-host each process
+    walks ITS disjoint shard, so globally-assembled batches carry distinct
+    data. Convenience wrapper over ShardedSampler for epoch loops."""
+    s = ShardedSampler(n, shuffle=True, seed=seed)
+    s.set_epoch(epoch)
+    return list(s)
+
+
 class ShardedSampler:
     """Deterministic disjoint index shards with epoch-seeded shuffling.
 

@@ -177,7 +177,12 @@ class TalTrainer:
         return {k_: float(v) for k_, v in losses.items()}
 
     def train_epoch(self, items: List[dict], batch_size: int = 2) -> Dict[str, float]:
-        order = np.random.permutation(len(items))
+        # epoch-seeded per-process order (DistributedSampler semantics) —
+        # multi-host runs walk disjoint shards; single-process unchanged
+        from ...data.sampler import sharded_epoch_order
+
+        self._epoch = getattr(self, "_epoch", -1) + 1
+        order = sharded_epoch_order(len(items), self._epoch)
         agg: Dict[str, float] = {}
         nb = 0
         for i in range(0, len(items), batch_size):

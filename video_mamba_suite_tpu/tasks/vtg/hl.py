@@ -142,7 +142,6 @@ class HlTrainer:
         self.tx = make_optimizer("adamw", lr=lr, weight_decay=weight_decay,
                                  grad_clip=grad_clip)
         self.rng = jax.random.PRNGKey(seed)
-        self._shuffle = np.random.default_rng(seed)  # owned, reproducible
         self.params = None
         self.opt_state = None
         self.core = TrainerCore(use_mesh=use_mesh)
@@ -184,7 +183,11 @@ class HlTrainer:
         self.opt_state = self.core.prepare(self.tx.init(self.params))
 
     def train_epoch(self, samples: List[dict], batch_size: int = 4) -> Dict:
-        order = self._shuffle.permutation(len(samples))
+        # epoch-seeded per-process order (DistributedSampler semantics)
+        from ...data.sampler import sharded_epoch_order
+
+        self._epoch = getattr(self, "_epoch", -1) + 1
+        order = sharded_epoch_order(len(samples), self._epoch)
         losses = {}
         for i in range(0, len(samples), batch_size):
             batch = collate_hl([samples[j] for j in order[i:i + batch_size]],

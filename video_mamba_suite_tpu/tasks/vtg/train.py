@@ -107,7 +107,11 @@ class VtgTrainer:
         return self.core.latest_step(directory)
 
     def train_epoch(self, samples: List[dict], batch_size: int = 4) -> Dict:
-        order = np.random.permutation(len(samples))
+        # epoch-seeded per-process order (DistributedSampler semantics)
+        from ...data.sampler import sharded_epoch_order
+
+        self._epoch = getattr(self, "_epoch", -1) + 1
+        order = sharded_epoch_order(len(samples), self._epoch)
         agg, nb = {}, 0
         for i in range(0, len(samples), batch_size):
             chunk = [samples[j] for j in order[i : i + batch_size]]
