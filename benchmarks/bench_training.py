@@ -104,6 +104,41 @@ def bench_vivim_finetune(batch=8, frames=16, size=224, n_cls=400):
           f"{t*1e3:.0f} ms → {batch/t:.1f} clips/s/chip", flush=True)
 
 
+def bench_tal_train(batch=2, seq_len=2304, feat_dim=2048, n_cls=20):
+    """One TAL (ActionMamba) optimizer step at the THUMOS operating point
+    (mamba_thumos_new.yaml: batch 2, max_seq_len 2304, InternVideo2 2048-d
+    features, DBM mixers) — the suite's long-sequence training path through
+    the chunked Pallas kernels fwd+bwd."""
+    import numpy as np
+
+    from video_mamba_suite_tpu.tasks.tal.data import (
+        collate_tal,
+        make_synthetic_tal,
+    )
+    from video_mamba_suite_tpu.tasks.tal.train import TalTrainer
+
+    items = make_synthetic_tal(num_videos=2 * batch, num_classes=n_cls,
+                               feat_dim=feat_dim, seq_len=seq_len)
+    tr = TalTrainer(input_dim=feat_dim, num_classes=n_cls,
+                    max_seq_len=seq_len, embd_dim=512, mixer="dbm",
+                    impl="pallas")
+    batch_arrays = collate_tal(items[:batch], seq_len, tr.max_num_gt,
+                               training=True)
+    # stage the batch on device once: numpy inputs would re-ship 38 MB of
+    # features per step, which on THIS box rides the tunneled transport at
+    # ~2 s/step and buries the 18 ms of device compute (xplane-verified);
+    # a real input pipeline overlaps host→device copies
+    batch_arrays = jax.device_put(batch_arrays)
+
+    def step(*a):
+        losses = tr.train_step(*a)
+        return np.float32(losses["final_loss"])
+
+    t = _time(step, *batch_arrays, iters=8)
+    print(f"[train] TAL ActionMamba step (b{batch}, l{seq_len}, dbm): "
+          f"{t*1e3:.0f} ms → {batch/t:.1f} videos/s/chip", flush=True)
+
+
 def bench_long_context(l=1_048_576, d=384, n=16):
     """1M-token bidirectional MambaVim forward (the TimeMamba 5000-frame
     self-test scaled up, timemamba.py:392-400)."""
@@ -129,6 +164,7 @@ def main():
     if not args.skip_train:
         bench_vivim_finetune()
         bench_clip_pretrain()
+        bench_tal_train()
 
 
 if __name__ == "__main__":

@@ -154,7 +154,10 @@ class CaptioningTrainer:
             self.params, self.opt_state, k, feats, mask,
             gt_boxes, gt_labels, gt_valid, captions,
         )
-        return {k_: float(v) for k_, v in losses.items()}
+        # ONE device_get for the whole dict: per-leaf float() costs a
+        # device round-trip each (tens of ms over the tunneled chip)
+        return {k_: float(v) for k_, v in
+                jax.device_get(losses).items()}
 
     def predict(self, feats, mask, duration: float, topk: int = 10,
                 vocab: Optional[List[str]] = None) -> List[dict]:

@@ -84,6 +84,7 @@ class TalTrainer:
         self.num_classes = num_classes
         self.max_seq_len = max_seq_len
         self.max_num_gt = max_num_gt
+        self.ema_decay = ema_decay
         self.label_smoothing = label_smoothing
         self.center_sample_radius = center_sample_radius
         self.point_gen = self.model.make_points()
@@ -121,7 +122,7 @@ class TalTrainer:
             {"params": k, "dropout": k}, feats, mask, deterministic=True
         ))
         self.opt_state = self.core.prepare(self.tx.init(self.params))
-        self.ema = ema_init(self.params)
+        self.ema = ema_init(self.params, self.ema_decay)
 
         points_np = self.point_gen(self._level_lengths(feats.shape[1]))
         points_cat = jnp.concatenate(points_np, axis=0)
@@ -132,7 +133,8 @@ class TalTrainer:
         tx = self.tx
 
         @jax.jit
-        def step(params, opt_state, loss_norm, rng, feats, mask, segs, labels, valid):
+        def step(params, opt_state, loss_norm, ema, rng,
+                 feats, mask, segs, labels, valid):
             gt_cls, gt_off = label_points(
                 points_cat, segs, labels, valid, num_classes,
                 center_sample_radius=radius,
@@ -154,7 +156,10 @@ class TalTrainer:
             )(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, new_norm, losses
+            # EMA folded into the jitted step: a separate dispatch costs a
+            # full host round-trip per step on the tunneled chip
+            ema = ema_update(ema, params)
+            return params, opt_state, new_norm, ema, losses
 
         @jax.jit
         def fwd(params, feats, mask):
@@ -169,12 +174,15 @@ class TalTrainer:
         self.rng, k = jax.random.split(self.rng)
         feats, mask, segs, labels, valid = self.core.shard(
             (feats, mask, segs, labels, valid))
-        self.params, self.opt_state, self.loss_norm, losses = self._step_fn(
-            self.params, self.opt_state, self.loss_norm, k,
+        (self.params, self.opt_state, self.loss_norm, self.ema,
+         losses) = self._step_fn(
+            self.params, self.opt_state, self.loss_norm, self.ema, k,
             feats, mask, segs, labels, valid,
         )
-        self.ema = ema_update(self.ema, self.params)
-        return {k_: float(v) for k_, v in losses.items()}
+        # ONE device_get for the whole dict: per-leaf float() costs a
+        # device round-trip each (tens of ms over the tunneled chip)
+        return {k_: float(v) for k_, v in
+                jax.device_get(losses).items()}
 
     def train_epoch(self, items: List[dict], batch_size: int = 2) -> Dict[str, float]:
         # epoch-seeded per-process order (DistributedSampler semantics) —

@@ -198,7 +198,10 @@ class HlTrainer:
             self.rng, k = jax.random.split(self.rng)
             self.params, self.opt_state, losses = self._step(
                 self.params, self.opt_state, k, batch)
-        return {k_: float(v) for k_, v in losses.items()}
+        # ONE device_get for the whole dict: per-leaf float() costs a
+        # device round-trip each (tens of ms over the tunneled chip)
+        return {k_: float(v) for k_, v in
+                jax.device_get(losses).items()}
 
     def state_dict(self) -> Dict:
         return {"params": self.params, "opt_state": self.opt_state}

@@ -209,7 +209,10 @@ class QfvsTrainer:
         vid, vmask, gt, c1, c2 = self.core.shard((vid, vmask, gt, c1, c2))
         self.params, self.opt_state, losses = self._step(
             self.params, self.opt_state, k, vid, vmask, gt, c1, c2)
-        return {k_: float(v) for k_, v in losses.items()}
+        # ONE device_get for the whole dict: per-leaf float() costs a
+        # device round-trip each (tens of ms over the tunneled chip)
+        return {k_: float(v) for k_, v in
+                jax.device_get(losses).items()}
 
     def predict_summary(self, vid, vmask, c1, c2) -> List[np.ndarray]:
         """Top-p% frame indices per video, score-ensembled over the three

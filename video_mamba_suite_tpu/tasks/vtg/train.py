@@ -124,7 +124,7 @@ class VtgTrainer:
             self.params, self.opt_state, losses = self._step(
                 self.params, self.opt_state, k, self.core.shard(batch)
             )
-            for k_, v in losses.items():
+            for k_, v in jax.device_get(losses).items():
                 agg[k_] = agg.get(k_, 0.0) + float(v)
             nb += 1
         return {k_: v / max(nb, 1) for k_, v in agg.items()}
