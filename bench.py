@@ -254,6 +254,13 @@ def main():
     clips_assoc = _safe("assoc comparison", bench_timemamba, "assoc")
     _safe("train step", bench_train_step)
 
+    def _tal():
+        from benchmarks.bench_training import bench_tal_train
+
+        bench_tal_train()
+
+    _safe("TAL train step", _tal)
+
     from benchmarks.profile_timemamba import timemamba_flops
 
     V5E_PEAK = 197e12
