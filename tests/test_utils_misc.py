@@ -119,3 +119,42 @@ def test_hf_from_pretrained_local_dir(tmp_path):
     model2, params2 = from_pretrained(str(tmp_path))
     logits2 = model2.apply(jax.tree_util.tree_map(jnp.asarray, params2), ids)
     assert bool(jnp.all(jnp.isfinite(logits2)))
+
+
+def test_fused_add_norm_semantics():
+    """N7 contract (the reference layer_norm_fn, triton/layernorm.py:380-478):
+    prenorm returns (Norm(x + residual), x + residual) with the residual
+    stream in fp32; postnorm returns residual=None; RMS variant has no
+    mean subtraction."""
+    from video_mamba_suite_tpu.ops.norms import fused_add_norm
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 5, 8), jnp.bfloat16)
+    r = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 8), jnp.float32)
+    w = jnp.linspace(0.5, 1.5, 8)
+    b = jnp.linspace(-0.1, 0.1, 8)
+
+    normed, res = fused_add_norm(x, w, b, residual=r, prenorm=True)
+    want_res = x.astype(jnp.float32) + r
+    np.testing.assert_allclose(np.asarray(res), np.asarray(want_res),
+                               rtol=1e-6, atol=1e-6)
+    assert res.dtype == jnp.float32 and normed.dtype == x.dtype
+    mu = want_res.mean(-1, keepdims=True)
+    var = ((want_res - mu) ** 2).mean(-1, keepdims=True)
+    want = ((want_res - mu) / jnp.sqrt(var + 1e-5)) * w + b
+    np.testing.assert_allclose(np.asarray(normed, dtype=np.float32),
+                               np.asarray(want), rtol=2e-2, atol=2e-2)
+
+    # postnorm: no residual returned
+    _, res_none = fused_add_norm(x, w, b, residual=r, prenorm=False)
+    assert res_none is None
+
+    # RMS: scale-only, no centering — a constant shift changes LN's
+    # output but only rescales RMS input
+    normed_rms, _ = fused_add_norm(x, w, None, residual=None, prenorm=True,
+                                   is_rms_norm=True)
+    want_rms = (x.astype(jnp.float32)
+                / jnp.sqrt((x.astype(jnp.float32) ** 2).mean(-1, keepdims=True)
+                           + 1e-5)) * w
+    np.testing.assert_allclose(np.asarray(normed_rms, dtype=np.float32),
+                               np.asarray(want_rms), rtol=2e-2, atol=2e-2)
