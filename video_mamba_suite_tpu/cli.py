@@ -253,7 +253,11 @@ def run_tal(cfg, epochs, synthetic, ckpt=None):
                     backbone_arch=(1, 1, 2),
                     regression_range=[(0, 8), (8, 32), (32, 10000)],
                     lr=2e-3, warmup_steps=5, total_steps=epochs * 4)
-    for ep in range(epochs):
+    from .tasks.tal.data import collate_tal
+
+    b0 = collate_tal(items[:1], 128, tr.max_num_gt, training=True)
+    start = _maybe_resume(ckpt, lambda: tr.restore(ckpt, b0[0], b0[1]))
+    for ep in range(start, epochs):
         stats = tr.train_epoch(items, batch_size=2)
         print(f"epoch {ep}: {stats}")
         if _ckpt_step(tr, ckpt, ep):
