@@ -558,3 +558,46 @@ def test_pallas_complex_a():
     for a_, r_ in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_bidir_bwd_dispatches_fused_kernel(monkeypatch):
+    """Training grads through mamba_inner_bidir at the adapter shape must
+    route through the FUSED bidirectional bwd (one kernel, no flips), not
+    the flip fallback — guards the dispatch in _short_bidir_core_bwd."""
+    from video_mamba_suite_tpu.ops import selective_scan_pallas as ssp
+
+    calls = {"fused": 0, "flip": 0}
+    orig_fused = ssp._short_bidir_bwd_impl
+    orig_flip = ssp._short_bidir_core_bwd_flip
+
+    def fused(*a, **k):
+        calls["fused"] += 1
+        return orig_fused(*a, **k)
+
+    def flip(*a, **k):
+        calls["flip"] += 1
+        return orig_flip(*a, **k)
+
+    monkeypatch.setattr(ssp, "_short_bidir_bwd_impl", fused)
+    monkeypatch.setattr(ssp, "_short_bidir_core_bwd_flip", flip)
+
+    b, l, d, n = 3, 16, 8, 4
+    ks = jax.random.split(jax.random.PRNGKey(5), 10)
+    mk = lambda i, *s: jax.random.normal(ks[i], s)  # noqa: E731
+    args = (mk(0, b, l, d), 0.5 * jax.random.uniform(ks[1], (b, l, d)),
+            -0.5 * jax.random.uniform(ks[2], (d, n)),
+            mk(3, b, l, n), mk(4, b, l, n),
+            mk(5, b, l, d), 0.5 * jax.random.uniform(ks[6], (b, l, d)),
+            -0.5 * jax.random.uniform(ks[7], (d, n)),
+            mk(8, b, l, n), mk(9, b, l, n))
+
+    def loss(uf, dtf, Af, Bf, Cf, ub, dtb, Ab, Bb, Cb):
+        from video_mamba_suite_tpu.ops.selective_scan_pallas import (
+            selective_scan_pallas_bidir,
+        )
+        yf, yb = selective_scan_pallas_bidir(
+            uf, dtf, Af, Bf, Cf, ub, dtb, Ab, Bb, Cb, delta_softplus=True)
+        return jnp.sum(yf ** 2) + jnp.sum(yb ** 2)
+
+    jax.grad(loss, argnums=tuple(range(10)))(*args)
+    assert calls["fused"] == 1 and calls["flip"] == 0, calls
