@@ -337,10 +337,20 @@ class MambaScanNorm(_MambaBase):
     def __call__(self, hidden_states: jax.Array,
                  mask: Optional[jax.Array] = None) -> jax.Array:
         xz = self.in_proj(hidden_states)
-        mask_b = jnp.flip(mask, axis=1) if mask is not None else None
-        out_f = self.fwd(xz, impl=self.impl, mask=mask)
-        out_b = self.bwd(jnp.flip(xz, axis=1), impl=self.impl, mask=mask_b)
-        out = rms_norm(out_f + jnp.flip(out_b, axis=1), self.scan_norm_w)
+        if self._use_fuse_scan(xz.shape[1]):
+            out_f, out_b = mamba_inner_bidir(
+                xz, xz, self.fwd.param_dict(), self.bwd.param_dict(),
+                -jnp.exp(self.fwd.A_log), -jnp.exp(self.bwd.A_log),
+                mask=mask, impl=self.impl,
+            )
+            out = out_f + out_b
+        else:
+            mask_b = jnp.flip(mask, axis=1) if mask is not None else None
+            out_f = self.fwd(xz, impl=self.impl, mask=mask)
+            out_b = self.bwd(jnp.flip(xz, axis=1), impl=self.impl,
+                             mask=mask_b)
+            out = out_f + jnp.flip(out_b, axis=1)
+        out = rms_norm(out, self.scan_norm_w)
         return self.out_proj(out)
 
 
