@@ -239,3 +239,78 @@ def test_reference_dbm_mamba_grad_parity():
         np.testing.assert_allclose(
             np.asarray(leaf), flat_want[path], rtol=1e-3, atol=1e-4,
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_reference_scan_norm_mamba_parity():
+    """mamba_simple_scan_norm.Mamba(if_devide_out=True) — the scan-norm ViM
+    variant (RMSNorm(d_inner) on the direction sum replacing the /2,
+    :155,263-292) — vs our MambaScanNorm with converted weights, values and
+    gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_mamba_suite_tpu.models import MambaScanNorm
+    from video_mamba_suite_tpu.models.convert import convert_scan_norm_mixer
+
+    _import_reference()  # stubs + sys.path
+    import mamba_ssm.ops.selective_scan_interface as ssi
+    import mamba_ssm.modules.mamba_simple_scan_norm as msn
+
+    msn.selective_scan_fn = ssi.selective_scan_ref
+    msn.causal_conv1d_fn = None
+
+    if msn.RMSNorm is None:  # triton absent: substitute rms_norm_ref math
+        class _RMSNorm(torch.nn.Module):
+            def __init__(self, d, eps=1e-5, device=None, dtype=None):
+                super().__init__()
+                self.eps = eps
+                self.weight = torch.nn.Parameter(torch.ones(d))
+
+            def forward(self, x):
+                xf = x.float()
+                rstd = torch.rsqrt(xf.pow(2).mean(-1, keepdim=True) + self.eps)
+                return (xf * rstd * self.weight.float()).to(x.dtype)
+
+        msn.RMSNorm = _RMSNorm
+
+    torch.manual_seed(0)
+    d_model = 16
+    ref = msn.Mamba(d_model=d_model, d_state=8, d_conv=4, expand=2,
+                    use_fast_path=False, bimamba_type="v2",
+                    if_devide_out=True, layer_idx=0)
+    ref.eval()
+    gen = torch.Generator().manual_seed(8)
+    x_t = torch.randn(2, 12, d_model, generator=gen).requires_grad_(True)
+    g = torch.randn(2, 12, d_model, generator=gen)
+    ref(x_t).backward(g)
+    want = ref(x_t.detach()).detach().numpy()
+    want_x_grad = x_t.grad.numpy()
+    want_param_grads = convert_scan_norm_mixer(_torch_grad_dict(ref))
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_scan_norm_mixer(ref.state_dict()))
+    ours = MambaScanNorm(d_model=d_model, d_state=8, d_conv=4, expand=2,
+                         impl="ref")
+    xj = jnp.asarray(x_t.detach().numpy())
+    init = ours.init(jax.random.PRNGKey(0), xj)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, init["params"])
+            == jax.tree_util.tree_map(lambda a: a.shape, params))
+    got = np.asarray(ours.apply({"params": params}, xj))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    gj = jnp.asarray(g.numpy())
+
+    def loss(p, x):
+        return jnp.sum(ours.apply({"params": p}, x) * gj)
+
+    got_param_grads, got_x_grad = jax.grad(loss, argnums=(0, 1))(params, xj)
+    np.testing.assert_allclose(np.asarray(got_x_grad), want_x_grad,
+                               rtol=1e-3, atol=1e-4)
+    flat_got = jax.tree_util.tree_leaves_with_path(got_param_grads)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(lambda t: np.asarray(t), want_param_grads)))
+    assert len(flat_got) == len(flat_want)
+    for path, leaf in flat_got:
+        np.testing.assert_allclose(
+            np.asarray(leaf), flat_want[path], rtol=1e-3, atol=1e-4,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")

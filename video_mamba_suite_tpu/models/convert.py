@@ -85,6 +85,14 @@ def convert_vim_mixer(sd: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
     return out
 
 
+def convert_scan_norm_mixer(sd: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Scan-norm ViM (mamba_simple_scan_norm.py:155,263-292 — RMSNorm(d_inner)
+    on the direction sum replacing the /2) → our MambaScanNorm."""
+    out = convert_vim_mixer(sd, prefix)
+    out["scan_norm_w"] = _t(sd[prefix + "norm.weight"])
+    return out
+
+
 def convert_mamba_lm(sd: Dict[str, Any], n_layer: int) -> Dict[str, Any]:
     """Upstream MambaLMHeadModel state_dict → our MambaLMHeadModel params
     (tied lm head; rms norms)."""
