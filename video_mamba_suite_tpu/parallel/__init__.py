@@ -14,6 +14,7 @@ from .multihost import (
     local_batch_to_global,
     sync_global_devices,
 )
+from .pipeline import pipeline_apply, pp_mamba_blocks, pp_stack_params
 from .ring_scan import ring_mamba_vim, ring_selective_scan
 from .tensor_parallel import tp_mamba_forward, tp_shard_params
 
@@ -26,6 +27,9 @@ __all__ = [
     "shard_batch",
     "replicate_params",
     "data_parallel_sharding",
+    "pipeline_apply",
+    "pp_mamba_blocks",
+    "pp_stack_params",
     "ring_mamba_vim",
     "ring_selective_scan",
     "tp_mamba_forward",
