@@ -14,6 +14,7 @@ from .multihost import (
     local_batch_to_global,
     sync_global_devices,
 )
+from .expert import MoEMlp, ep_shard_params, moe_dispatch
 from .pipeline import pipeline_apply, pp_mamba_blocks, pp_stack_params
 from .ring_scan import ring_mamba_vim, ring_selective_scan
 from .tensor_parallel import tp_mamba_forward, tp_shard_params
@@ -27,6 +28,9 @@ __all__ = [
     "shard_batch",
     "replicate_params",
     "data_parallel_sharding",
+    "MoEMlp",
+    "ep_shard_params",
+    "moe_dispatch",
     "pipeline_apply",
     "pp_mamba_blocks",
     "pp_stack_params",
