@@ -269,10 +269,18 @@ def main():
     mfu = clips_pallas * flops_per_clip / V5E_PEAK
     ratio = (f", {clips_pallas / clips_assoc:.1f}x vs XLA assoc path"
              if clips_assoc else "")
+    # quantified physical ceiling of this metric on ONE v5e chip: the Mamba
+    # adapters are pure VPU work (23.3 ms at the calibrated VPU roofline) on
+    # a chip whose VPU:MXU ratio is 1:104 vs the A100's ~1:16 — component
+    # floors sum to ~57 ms = 140 clips/s = 0.85x the A100 estimate
+    # (BASELINE.md "physical ceiling" table; implementable floor ~66-70 ms)
+    CEILING_CLIPS = 140.0
     print(
         f"[bench] TimeMamba-B: {clips_pallas:.1f} clips/s = "
         f"{100 * mfu:.1f}% MFU on v5e "
-        f"({flops_per_clip / 1e9:.0f} GF/clip{ratio})",
+        f"({flops_per_clip / 1e9:.0f} GF/clip{ratio}, "
+        f"{100 * clips_pallas / CEILING_CLIPS:.0f}% of the chip's physical "
+        f"ceiling for this op mix — BASELINE.md)",
         file=sys.stderr,
     )
     print(json.dumps({
