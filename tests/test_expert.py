@@ -100,6 +100,50 @@ def test_moe_ep_sharded_matches_unsharded():
     np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
 
 
+def test_moe_mamba_lm_forward_and_aux():
+    """MoE-Mamba LM: interleaved Switch-FFN blocks, sown aux loss."""
+    from video_mamba_suite_tpu.models import MambaLMHeadModel
+
+    model = MambaLMHeadModel(d_model=16, n_layer=4, vocab_size=50,
+                             moe_every=2, moe_num_experts=2)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 12), 0, 50)
+    params = model.init(jax.random.PRNGKey(1), ids)
+    # two MoE blocks were created (after layers 2 and 4)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    moe_paths = {str(p) for p, _ in flat if "moe" in str(p)}
+    assert any("moe_blocks_1" in s for s in moe_paths)
+    assert any("moe_blocks_3" in s for s in moe_paths)
+
+    logits, state = model.apply(params, ids, mutable=["intermediates"])
+    assert logits.shape == (2, 12, model.padded_vocab)
+    aux = model.apply(params, state["intermediates"],
+                      method=model.moe_aux_loss)
+    assert float(aux) > 0.0
+
+
+def test_moe_mamba_lm_decode_matches_forward():
+    """Step decode == full forward when routing is drop-free (per-token
+    top-1 routing has no cross-token coupling except the capacity cap)."""
+    from video_mamba_suite_tpu.models import MambaLMHeadModel
+
+    model = MambaLMHeadModel(d_model=16, n_layer=2, vocab_size=40,
+                             moe_every=1, moe_num_experts=2,
+                             moe_capacity_factor=8.0)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 40)
+    params = model.init(jax.random.PRNGKey(3), ids)
+    full = model.apply(params, ids)
+
+    states = model.apply(params, 2, method=model.init_states)
+    outs = []
+    for t in range(ids.shape[1]):
+        logit, states = model.apply(params, ids[:, t], states,
+                                    method=model.step)
+        outs.append(logit)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_moe_training_step_reduces_loss():
     b, l, d = 4, 8, 8
     import optax

@@ -31,8 +31,63 @@ def scaled_out_proj_init(n_layer: int, initializer_range: float = 0.02):
     return init
 
 
+class MoEFFNBlock(nn.Module):
+    """Pre-norm MoE feed-forward block in the (hidden, residual) stream —
+    the MoE-Mamba interleave pattern (no reference analogue; beyond-ref
+    capability pairing `parallel/expert.py` with the LM stack). The Switch
+    aux loss is sown into the 'intermediates' collection under 'moe_aux'."""
+
+    dim: int
+    num_experts: int
+    d_hidden: int
+    capacity_factor: float = 1.25
+    rms: bool = True
+    norm_eps: float = 1e-5
+    residual_in_fp32: bool = True
+    mesh: Optional[Any] = None
+
+    def setup(self):
+        self.norm_w = self.param(
+            "norm_w", nn.initializers.ones, (self.dim,), jnp.float32)
+        self.norm_b = (
+            None if self.rms
+            else self.param("norm_b", nn.initializers.zeros, (self.dim,),
+                            jnp.float32))
+        from ..parallel.expert import MoEMlp
+
+        self.moe = MoEMlp(
+            d_model=self.dim, d_hidden=self.d_hidden,
+            num_experts=self.num_experts,
+            capacity_factor=self.capacity_factor, mesh=self.mesh,
+            name="moe")
+
+    def __call__(self, hidden_states, residual=None):
+        hidden_states, residual = fused_add_norm(
+            hidden_states, self.norm_w, self.norm_b, residual=residual,
+            prenorm=True, residual_in_fp32=self.residual_in_fp32,
+            eps=self.norm_eps, is_rms_norm=self.rms)
+        hidden_states, aux = self.moe(hidden_states)
+        self.sow("intermediates", "moe_aux", aux)
+        return hidden_states, residual
+
+    def step(self, hidden_states, residual):
+        """Single-token variant: hidden_states (batch, dim). Routing is
+        per-token, so with no capacity drops this matches the full forward
+        exactly (use capacity_factor ≥ num_experts for drop-free decode)."""
+        hidden_states, residual = fused_add_norm(
+            hidden_states, self.norm_w, self.norm_b, residual=residual,
+            prenorm=True, residual_in_fp32=self.residual_in_fp32,
+            eps=self.norm_eps, is_rms_norm=self.rms)
+        h, _ = self.moe(hidden_states[:, None, :])
+        return h[:, 0, :], residual
+
+
 class MixerModel(nn.Module):
-    """Embedding → n×Block(causal Mamba) → final norm."""
+    """Embedding → n×Block(causal Mamba) → final norm.
+
+    `moe_every=k` interleaves a pre-norm Switch-MoE feed-forward block after
+    every k-th Mamba block (MoE-Mamba pattern); experts shard over an
+    'expert' mesh axis when `moe_mesh` is given (see parallel/expert.py)."""
 
     d_model: int
     n_layer: int
@@ -44,6 +99,11 @@ class MixerModel(nn.Module):
     residual_in_fp32: bool = True
     norm_eps: float = 1e-5
     initializer_range: float = 0.02
+    moe_every: int = 0
+    moe_num_experts: int = 4
+    moe_d_hidden: Optional[int] = None
+    moe_capacity_factor: float = 1.25
+    moe_mesh: Optional[Any] = None
 
     def setup(self):
         self.embedding = nn.Embed(
@@ -60,6 +120,17 @@ class MixerModel(nn.Module):
             )
             for i in range(self.n_layer)
         ]
+        self.moe_blocks = [
+            MoEFFNBlock(
+                dim=self.d_model, num_experts=self.moe_num_experts,
+                d_hidden=self.moe_d_hidden or 4 * self.d_model,
+                capacity_factor=self.moe_capacity_factor,
+                rms=self.rms_norm, norm_eps=self.norm_eps,
+                residual_in_fp32=self.residual_in_fp32, mesh=self.moe_mesh,
+            )
+            if self.moe_every and (i + 1) % self.moe_every == 0 else None
+            for i in range(self.n_layer)
+        ]
         self.norm_f_w = self.param(
             "norm_f_w", nn.initializers.ones, (self.d_model,), jnp.float32
         )
@@ -72,8 +143,10 @@ class MixerModel(nn.Module):
     def __call__(self, input_ids: jax.Array) -> jax.Array:
         hidden = self.embedding(input_ids)
         residual = None
-        for layer in self.layers:
+        for layer, moe in zip(self.layers, self.moe_blocks):
             hidden, residual = layer(hidden, residual)
+            if moe is not None:
+                hidden, residual = moe(hidden, residual)
         # final fused add + norm (mixer_seq_simple.py:148-166)
         hidden, _ = fused_add_norm(
             hidden, self.norm_f_w, self.norm_f_b, residual=residual,
@@ -86,8 +159,10 @@ class MixerModel(nn.Module):
         hidden = self.embedding(token)
         residual = None
         new_states = []
-        for layer, st in zip(self.layers, states):
+        for layer, moe, st in zip(self.layers, self.moe_blocks, states):
             hidden, residual, st = layer.step(hidden, residual, st)
+            if moe is not None:
+                hidden, residual = moe.step(hidden, residual)
             new_states.append(st)
         hidden, _ = fused_add_norm(
             hidden, self.norm_f_w, self.norm_f_b, residual=residual,
@@ -107,6 +182,11 @@ class MambaLMHeadModel(nn.Module):
     expand: int = 2
     rms_norm: bool = True
     pad_vocab_size_multiple: int = 8
+    moe_every: int = 0
+    moe_num_experts: int = 4
+    moe_d_hidden: Optional[int] = None
+    moe_capacity_factor: float = 1.25
+    moe_mesh: Optional[Any] = None
 
     @property
     def padded_vocab(self) -> int:
@@ -118,6 +198,11 @@ class MambaLMHeadModel(nn.Module):
             d_model=self.d_model, n_layer=self.n_layer,
             vocab_size=self.padded_vocab, d_state=self.d_state,
             d_conv=self.d_conv, expand=self.expand, rms_norm=self.rms_norm,
+            moe_every=self.moe_every,
+            moe_num_experts=self.moe_num_experts,
+            moe_d_hidden=self.moe_d_hidden,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_mesh=self.moe_mesh,
         )
 
     def __call__(self, input_ids: jax.Array) -> jax.Array:
@@ -131,6 +216,12 @@ class MambaLMHeadModel(nn.Module):
         hidden, states = self.backbone.step(token, states)
         emb = self.backbone.embedding.embedding
         return jnp.dot(hidden, emb.T.astype(hidden.dtype)), states
+
+    def moe_aux_loss(self, intermediates) -> jax.Array:
+        """Sum the sown Switch load-balance losses. Run apply with
+        `mutable=["intermediates"]` and pass the collection here."""
+        leaves = jax.tree_util.tree_leaves(intermediates)
+        return sum(leaves) if leaves else jnp.zeros(())
 
     def init_states(self, batch: int):
         """Zeroed per-layer (conv_state, ssm_state) — the functional
