@@ -74,7 +74,7 @@ def test_moe_mlp_matches_per_token_oracle(capacity_factor):
 
     b, l, d, h, e = 2, 6, 8, 16, 4
     model = MoEMlp(d_model=d, d_hidden=h, num_experts=e,
-                   capacity_factor=capacity_factor)
+                   capacity_factor=capacity_factor, group_size=0)
     x = jax.random.normal(jax.random.PRNGKey(0), (b, l, d))
     params = model.init(jax.random.PRNGKey(1), x)
     out, aux = model.apply(params, x)
@@ -82,6 +82,22 @@ def test_moe_mlp_matches_per_token_oracle(capacity_factor):
     ref = _reference_moe(params, x, cap)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
     assert np.isfinite(float(aux))
+
+
+def test_moe_grouping_matches_per_row_oracle():
+    """Default grouping routes each batch row independently (GShard token
+    groups): masks stay linear in token count and the result equals the
+    flat computation applied per row."""
+    b, l, d, h, e = 3, 8, 8, 16, 2
+    grouped = MoEMlp(d_model=d, d_hidden=h, num_experts=e)       # -1 default
+    flat = MoEMlp(d_model=d, d_hidden=h, num_experts=e, group_size=0)
+    x = jax.random.normal(jax.random.PRNGKey(7), (b, l, d))
+    params = grouped.init(jax.random.PRNGKey(8), x)
+    out_g, _ = grouped.apply(params, x)
+    rows = [flat.apply(params, x[i:i + 1])[0] for i in range(b)]
+    np.testing.assert_allclose(np.asarray(out_g),
+                               np.asarray(jnp.concatenate(rows, axis=0)),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_moe_ep_sharded_matches_unsharded():
@@ -98,6 +114,32 @@ def test_moe_ep_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
+
+
+def test_moe_ep_gradients_match_unsharded():
+    """EP-sharded gradients == unsharded gradients (the repo's fwd+grad
+    test convention, CLAUDE.md)."""
+    b, l, d, h, e = 4, 8, 8, 16, 4
+    x = jax.random.normal(jax.random.PRNGKey(9), (b, l, d))
+    plain = MoEMlp(d_model=d, d_hidden=h, num_experts=e)
+    params = plain.init(jax.random.PRNGKey(10), x)
+
+    def loss(m):
+        def f(p):
+            out, aux = m.apply(p, x)
+            return jnp.mean(out ** 2) + 0.01 * aux
+        return f
+
+    g_ref = jax.grad(loss(plain))(params)
+
+    mesh = make_mesh(4, axes=("expert",))
+    sharded = MoEMlp(d_model=d, d_hidden=h, num_experts=e, mesh=mesh)
+    g_ep = jax.jit(jax.grad(loss(sharded)))(ep_shard_params(mesh, params))
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_ep = jax.tree_util.tree_leaves(g_ep)
+    for a, b_ in zip(flat_ref, flat_ep):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-5, atol=5e-6)
 
 
 def test_moe_mamba_lm_forward_and_aux():

@@ -104,6 +104,23 @@ def test_pp_gradients_match_sequential():
                                    rtol=5e-4, atol=1e-5)
 
 
+def test_pp_blocks_bf16_residual_stream():
+    """residual_in_fp32=False keeps the residual stream in the activation
+    dtype — the pipeline's carry init must follow (regression: fp32 zeros
+    made the tick scan carry flip dtype after the first layer)."""
+    d, n_layers, n_stages = 16, 2, 2
+    block, params = _blocks(n_layers, d, residual_in_fp32=False)
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 6, d))
+    h_ref, res_ref = _sequential(block, params, x)
+    mesh = make_mesh(n_stages, axes=("stage",))
+    sp = pp_stack_params(params, n_stages, mesh)
+    h, res = pp_mamba_blocks(mesh, block, sp, x, 2)
+    assert res.dtype == x.dtype
+    np.testing.assert_allclose(np.asarray(h + res),
+                               np.asarray(h_ref + res_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_split_microbatches_errors():
     with pytest.raises(ValueError):
         split_microbatches(jnp.zeros((5, 2)), 2)

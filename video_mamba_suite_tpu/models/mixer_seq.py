@@ -71,9 +71,11 @@ class MoEFFNBlock(nn.Module):
         return hidden_states, residual
 
     def step(self, hidden_states, residual):
-        """Single-token variant: hidden_states (batch, dim). Routing is
-        per-token, so with no capacity drops this matches the full forward
-        exactly (use capacity_factor ≥ num_experts for drop-free decode)."""
+        """Single-token variant: hidden_states (batch, dim). With the
+        per-row grouping default the single-token group can never overflow
+        capacity, so decode computes the exact per-token expert function;
+        it matches the full forward wherever training routing had no drops
+        (capacity drops are a training-time approximation)."""
         hidden_states, residual = fused_add_norm(
             hidden_states, self.norm_w, self.norm_b, residual=residual,
             prenorm=True, residual_in_fp32=self.residual_in_fp32,
@@ -218,9 +220,14 @@ class MambaLMHeadModel(nn.Module):
         return jnp.dot(hidden, emb.T.astype(hidden.dtype)), states
 
     def moe_aux_loss(self, intermediates) -> jax.Array:
-        """Sum the sown Switch load-balance losses. Run apply with
+        """Sum the sown Switch load-balance losses ('moe_aux' entries only
+        — other sown intermediates are ignored). Run apply with
         `mutable=["intermediates"]` and pass the collection here."""
-        leaves = jax.tree_util.tree_leaves(intermediates)
+        leaves = [
+            v for path, v in
+            jax.tree_util.tree_leaves_with_path(intermediates)
+            if any(getattr(k, "key", None) == "moe_aux" for k in path)
+        ]
         return sum(leaves) if leaves else jnp.zeros(())
 
     def init_states(self, batch: int):

@@ -61,12 +61,21 @@ class MoEMlp(nn.Module):
     Drop-in for a dense MLP on (B, L, d) tokens; returns (out, aux_loss).
     Pass `mesh` to pin expert-major tensors to the 'expert' axis (GSPMD
     inserts the a2a collectives); without a mesh it runs single-device.
+
+    `group_size` keeps the dense dispatch masks LINEAR in token count (the
+    GShard token-grouping): tokens are routed in independent groups of g
+    with per-group capacity ceil(g/E·cf), so the (G, g, E, C) masks are
+    O(N·g·cf/E) instead of O(N²·cf/E). -1 (default) groups per batch row —
+    the natural choice for sequence models, and it makes single-token
+    decode (g = 1) drop-free automatically. 0 = one flat group over all
+    B·L tokens (first-come routing across the whole batch).
     """
 
     d_model: int
     d_hidden: int
     num_experts: int = 4
     capacity_factor: float = 1.25
+    group_size: int = -1
     mesh: Optional[Mesh] = None
     axis: str = "expert"
     dtype: jnp.dtype = jnp.float32
@@ -76,7 +85,17 @@ class MoEMlp(nn.Module):
         b, l, d = x.shape
         e, h = self.num_experts, self.d_hidden
         n = b * l
-        cap = max(1, math.ceil(n / e * self.capacity_factor))
+        if self.group_size == -1:
+            g = l
+        elif self.group_size == 0:
+            g = n
+        else:
+            g = self.group_size
+            if n % g != 0:
+                raise ValueError(
+                    f"MoEMlp: {n} tokens not divisible by group_size {g}")
+        ngroups = n // g
+        cap = max(1, math.ceil(g / e * self.capacity_factor))
 
         gate_w = self.param("gate", nn.initializers.lecun_normal(), (d, e),
                             jnp.float32)
@@ -87,24 +106,27 @@ class MoEMlp(nn.Module):
                         jnp.float32)
         b2 = self.param("b2", nn.initializers.zeros, (e, d), jnp.float32)
 
-        tok = x.reshape(n, d)
-        logits = jnp.dot(tok.astype(jnp.float32), gate_w)
-        dispatch, combine, aux = moe_dispatch(logits, cap)
+        tok = x.reshape(ngroups, g, d)
+        logits = jnp.einsum("gnd,de->gne", tok.astype(jnp.float32), gate_w)
+        dispatch, combine, aux = jax.vmap(
+            moe_dispatch, in_axes=(0, None))(logits, cap)
+        aux = jnp.mean(aux)
 
         cd = self.dtype
-        xe = jnp.einsum("nec,nd->ecd", dispatch.astype(cd), tok.astype(cd))
+        xe = jnp.einsum("gnec,gnd->gecd", dispatch.astype(cd),
+                        tok.astype(cd))
         if self.mesh is not None:
             xe = jax.lax.with_sharding_constraint(
-                xe, NamedSharding(self.mesh, P(self.axis)))
+                xe, NamedSharding(self.mesh, P(None, self.axis)))
         hmid = jax.nn.gelu(
-            jnp.einsum("ecd,edh->ech", xe, w1.astype(cd)) +
-            b1.astype(cd)[:, None], approximate=True)
-        ye = jnp.einsum("ech,ehd->ecd", hmid, w2.astype(cd)) + \
-            b2.astype(cd)[:, None]
+            jnp.einsum("gecd,edh->gech", xe, w1.astype(cd)) +
+            b1.astype(cd)[None, :, None], approximate=True)
+        ye = jnp.einsum("gech,ehd->gecd", hmid, w2.astype(cd)) + \
+            b2.astype(cd)[None, :, None]
         if self.mesh is not None:
             ye = jax.lax.with_sharding_constraint(
-                ye, NamedSharding(self.mesh, P(self.axis)))
-        out = jnp.einsum("nec,ecd->nd", combine.astype(cd), ye)
+                ye, NamedSharding(self.mesh, P(None, self.axis)))
+        out = jnp.einsum("gnec,gecd->gnd", combine.astype(cd), ye)
         return out.reshape(b, l, d).astype(x.dtype), aux
 
 

@@ -59,15 +59,13 @@ def pipeline_apply(
         sid = lax.axis_index(axis)
         # local param view has a leading stage axis of 1 — drop it
         p_own = jax.tree.map(lambda x: x[0], params_local)
-        # the carries become device-varying inside the loop (sid-dependent
-        # injection + ppermute); mark the invariant zero inits as varying so
+        # the carry becomes device-varying inside the loop (sid-dependent
+        # injection + ppermute); mark the invariant zero init as varying so
         # lax.scan's carry types are stable
         vary = lambda x: lax.pcast(x, (axis,), to="varying")
         state = jax.tree.map(lambda l: vary(jnp.zeros_like(l[0])), mbs)
-        outputs = jax.tree.map(lambda l: vary(jnp.zeros_like(l)), mbs)
 
-        def tick(carry, t):
-            state, outputs = carry
+        def tick(state, t):
             inj = jax.tree.map(
                 lambda l: lax.dynamic_index_in_dim(
                     l, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False),
@@ -77,22 +75,18 @@ def pipeline_apply(
             state = jax.tree.map(
                 lambda i, s: jnp.where(valid_in, i, s), inj, state)
             state = stage_fn(p_own, state)
-            # after compute, the LAST stage holds microbatch t-(S-1) done
-            oidx = jnp.clip(t - (S - 1), 0, n_micro - 1)
-            valid_out = (sid == S - 1) & (t >= S - 1)
-            outputs = jax.tree.map(
-                lambda o, s: jnp.where(
-                    valid_out,
-                    lax.dynamic_update_index_in_dim(o, s, oidx, 0), o),
-                outputs, state,
-            )
+            # after compute, the LAST stage holds microbatch t-(S-1) done:
+            # emit it as this tick's y (O(1) data movement per tick — no
+            # whole-buffer select)
+            y = state
             state = jax.tree.map(
                 lambda s: lax.ppermute(s, axis, perm), state)
-            return (state, outputs), None
+            return state, y
 
-        (_, outputs), _ = lax.scan(
-            tick, (state, outputs), jnp.arange(n_micro + S - 1))
-        # outputs live on the last stage only; replicate them
+        _, ys = lax.scan(tick, state, jnp.arange(n_micro + S - 1))
+        # ticks S-1 .. M+S-2 on the LAST stage are microbatches 0..M-1;
+        # everywhere else ys is pipeline garbage — mask and replicate
+        outputs = jax.tree.map(lambda y: y[S - 1:], ys)
         return jax.tree.map(
             lambda o: lax.psum(jnp.where(sid == S - 1, o, 0), axis), outputs)
 
@@ -162,17 +156,25 @@ def pp_mamba_blocks(
     exactly like a sequential Block stack.
     """
     def stage_fn(p_stage, act):
-        h, res = act
-        per = _leading(p_stage)
-        for i in range(per):
-            p_i = jax.tree.map(lambda v: v[i], p_stage)
+        # lax.scan over the stage's layer stack keeps the HLO O(1) in
+        # depth (the tunneled remote-compile service rejects big programs,
+        # and unrolled layers would also duplicate into the scan transpose)
+        def layer(carry, p_i):
+            h, res = carry
             h, res = block.apply(p_i, h, res)
+            return (h, res), None
+
+        (h, res), _ = lax.scan(layer, act, p_stage)
         return (h, res)
 
+    # residual stream dtype must match what Block actually returns, or the
+    # pipeline tick's lax.scan carry type flips after the first layer
+    res_dtype = (jnp.float32 if getattr(block, "residual_in_fp32", True)
+                 else x.dtype)
     mbs = (
         split_microbatches(x, n_microbatches),
         split_microbatches(
-            jnp.zeros(x.shape, jnp.float32), n_microbatches),
+            jnp.zeros(x.shape, res_dtype), n_microbatches),
     )
     h, res = pipeline_apply(mesh, stage_fn, stage_params, mbs, axis=axis)
     merge = lambda m: m.reshape((-1,) + m.shape[2:])
