@@ -243,14 +243,34 @@ def main():
                   f"({type(e).__name__}: {str(e)[:120]})", file=sys.stderr)
             return None
 
+    # Warm-up probe: the tunneled chip intermittently answers
+    # FAILED_PRECONDITION to EVERY op for a minute or two (observed round 3:
+    # even a PRNGKey transfer failed, then the chip recovered on its own).
+    # Spin on a trivial matmul with backoff so a flake window at process
+    # start cannot sink the primary metric below.
+    for attempt in range(6):
+        try:
+            x = jnp.ones((8, 8))
+            _fetch(jax.jit(lambda a: a @ a)(x))
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] device probe failed "
+                  f"({type(e).__name__}), retry {attempt + 1}/6",
+                  file=sys.stderr)
+            time.sleep(15 * (attempt + 1))
+
     _safe("selective_scan microbench", bench_scan)
-    try:
-        clips_pallas = bench_timemamba("pallas")
-    except Exception as e:  # noqa: BLE001 — retry the PRIMARY metric once
-        print(f"[bench] primary retry after {type(e).__name__}",
-              file=sys.stderr)
-        time.sleep(10)
-        clips_pallas = bench_timemamba("pallas")
+    clips_pallas = None
+    for attempt in range(3):  # retry the PRIMARY metric with backoff
+        try:
+            clips_pallas = bench_timemamba("pallas")
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"[bench] primary retry after {type(e).__name__}",
+                  file=sys.stderr)
+            time.sleep(30 * (attempt + 1))
     clips_assoc = _safe("assoc comparison", bench_timemamba, "assoc")
     _safe("train step", bench_train_step)
 
