@@ -248,12 +248,28 @@ def main():
     # even a PRNGKey transfer failed, then the chip recovered on its own).
     # Spin on a trivial matmul with backoff so a flake window at process
     # start cannot sink the primary metric below.
+    _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE",
+                  "RESOURCE_EXHAUSTED", "500", "502", "503", "413",
+                  "unavailable", "timed out", "timeout")
     for attempt in range(6):
         try:
             x = jnp.ones((8, 8))
             _fetch(jax.jit(lambda a: a @ a)(x))
             break
         except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {e}"
+            if not any(t in msg for t in _TRANSIENT):
+                # Deterministic local failure (bad backend/import bug):
+                # don't burn ~5 min of backoff; let the primary bench
+                # surface the real error immediately.
+                print(f"[bench] device probe hit a non-transient error, "
+                      f"proceeding without retries ({msg[:160]})",
+                      file=sys.stderr)
+                break
+            if attempt == 5:
+                print("[bench] device probe exhausted all retries, "
+                      "proceeding anyway", file=sys.stderr)
+                break
             print(f"[bench] device probe failed "
                   f"({type(e).__name__}), retry {attempt + 1}/6",
                   file=sys.stderr)

@@ -250,3 +250,119 @@ def test_ring_data_seq_mesh_train_step():
     ref_loss = jnp.mean((model.apply(params, x) - y) ** 2)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-3)
     assert np.isfinite(float(loss))
+
+
+def test_ring_batch_axis_avoids_all_gather():
+    """On a ('data','seq') mesh, `batch_axis='data'` keeps the batch local:
+    the compiled HLO has ZERO all-gathers. Without it GSPMD silently
+    regathers the full batch at the shard_map boundary (the failure mode
+    hlo_audit exists to catch)."""
+    import optax
+
+    from video_mamba_suite_tpu.models import MambaVim
+    from video_mamba_suite_tpu.parallel import (
+        audit_collectives,
+        collective_stats,
+        ring_mamba_vim,
+        ring_permute_budget,
+    )
+
+    mesh = make_mesh(8, axes=("data", "seq"), shape=(4, 2))
+    model = MambaVim(d_model=8, d_state=4, expand=1, impl="assoc")
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(ks[0], (8, 16, 8))
+    y = jax.random.normal(ks[1], (8, 16, 8))
+    params = model.init(ks[2], x[:1])
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    from jax.sharding import NamedSharding
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", None)))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data", "seq", None)))
+
+    def make_step(batch_axis):
+        @jax.jit
+        def step(params, opt_state, x, y):
+            def loss_fn(p):
+                out = ring_mamba_vim(mesh, p, x, impl="assoc",
+                                     batch_axis=batch_axis)
+                return jnp.mean((out - y) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    good = make_step("data").lower(params, opt_state, xs, ys).compile()
+    stats = collective_stats(good.as_text())
+    param_bytes = sum(p.size * p.dtype.itemsize
+                      for p in jax.tree_util.tree_leaves(params))
+    audit_collectives(
+        stats,
+        max_all_gather_bytes=0,
+        max_all_reduce_bytes=3 * param_bytes + 1024,
+        expect_collective_permutes=ring_permute_budget(2, 2),
+    )
+    # loss parity with the unsharded step
+    _, _, loss = good(params, opt_state, xs, ys)
+    ref_loss = jnp.mean((model.apply(params, x) - y) ** 2)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-3)
+
+    # the old (no batch_axis) spelling DOES regather the batch — the
+    # detector fires (documents why batch_axis exists)
+    bad = make_step(None).lower(params, opt_state, xs, ys).compile()
+    assert collective_stats(bad.as_text()).nbytes("all-gather") > 0
+
+
+def test_timemamba_ring_mode_matches_plain():
+    """Composed data×seq flagship: TimeMamba with ring_mesh set (temporal
+    adapters sequence-parallel over 'seq') == the plain forward, and its
+    compiled HLO moves no all-gathers."""
+    from video_mamba_suite_tpu.models.timemamba import TimeMamba
+    from video_mamba_suite_tpu.parallel import collective_stats
+
+    mesh = make_mesh(8, axes=("data", "seq"), shape=(4, 2))
+    kw = dict(img_size=16, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+              num_frames=8, ln_pre=True, output_dim=16, scan_blocks=True,
+              impl="assoc")
+    tm_plain = TimeMamba(**kw)
+    tm_ring = TimeMamba(**kw, ring_mesh=mesh, ring_axes=("data", "seq"))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 16, 16, 3))
+    params = tm_plain.init({"params": jax.random.PRNGKey(2)}, x[:1])
+
+    from jax.sharding import NamedSharding
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+    want = tm_plain.apply(params, x)
+    fwd = jax.jit(lambda p, x: tm_ring.apply(p, x))
+    compiled = fwd.lower(params, xs).compile()
+    assert collective_stats(compiled.as_text()).nbytes("all-gather") == 0
+    got = compiled(params, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_hlo_audit_parses_ops_and_bytes():
+    from video_mamba_suite_tpu.parallel import audit_collectives, collective_stats
+
+    hlo = """
+  %ag = f32[8,4]{1,0} all-gather(f32[2,4]{1,0} %p0), dimensions={0}
+  %ar = (f32[4]{0}, bf16[2,2]{1,0}) all-reduce(%a, %b), to_apply=%add
+  %cp.1 = f32[16]{0} collective-permute(%x), source_target_pairs={{0,1}}
+  %cps = f32[16]{0} collective-permute-start(%y), source_target_pairs={{1,0}}
+  %cpd = f32[16]{0} collective-permute-done(%cps)
+"""
+    stats = collective_stats(hlo)
+    assert stats.count("all-gather") == 1
+    assert stats.nbytes("all-gather") == 8 * 4 * 4
+    assert stats.count("all-reduce") == 1
+    assert stats.nbytes("all-reduce") == 4 * 4 + 2 * 2 * 2
+    assert stats.count("collective-permute") == 2  # start counted, done not
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        audit_collectives(stats, max_all_gather_bytes=0)
+    audit_collectives(stats, max_all_gather_bytes=128,
+                      expect_collective_permutes=(1, 4))

@@ -234,7 +234,18 @@ class MambaVim(_MambaBase):
 
     out = out_proj( scan_f(xz) + flip(scan_b(flip(xz))) [/2 if if_devide_out] )
     with fully mirrored backward-direction parameters (:126-153).
+
+    `ring_mesh` + `ring_axes=(batch_axis, seq_axis)`: sequence-parallel
+    mode — the forward routes through parallel.ring_mamba_vim (ppermute
+    prefix rings, conv halo exchange) with the time axis sharded over
+    `seq_axis` and the batch over `batch_axis` of the given mesh. Same
+    math, same parameters; composes data × sequence parallelism inside a
+    jitted GSPMD program (SURVEY §2.4). Masks are not supported in ring
+    mode (the suite's video towers feed unmasked fixed-length clips).
     """
+
+    ring_mesh: Any = None            # jax.sharding.Mesh | None
+    ring_axes: Tuple[str, str] = ("data", "seq")
 
     def setup(self):
         d_in = self.d_inner
@@ -250,8 +261,44 @@ class MambaVim(_MambaBase):
             dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj",
         )
 
+    def _ring_forward(self, x: jax.Array) -> jax.Array:
+        """Sequence-parallel forward via parallel.ring_mamba_vim, reusing
+        this module's own parameters (post-init only: the ring consumes the
+        param values directly, so init must run the local path once)."""
+        from ..parallel.ring_scan import ring_mamba_vim
+
+        if self.bias or self.quant:
+            raise NotImplementedError(
+                "ring mode supports bias=False, quant=False MambaVim")
+
+        def side(sp: _ScanParams) -> dict:
+            d = sp.param_dict()
+            p = dict(conv_w=d["conv_w"], x_proj=d["x_proj"],
+                     dt_proj=d["dt_proj"], dt_bias=d["dt_bias"], D=d["D"],
+                     A_log=sp.A_log)
+            if d["conv_b"] is not None:
+                p["conv_bias"] = d["conv_b"]
+            return p
+
+        params = {
+            "in_proj": {"kernel": self.in_proj.variables["params"]["kernel"]},
+            "out_proj": {"kernel": self.out_proj.variables["params"]["kernel"]},
+            "fwd": side(self.fwd),
+            "bwd": side(self.bwd),
+        }
+        batch_axis, seq_axis = self.ring_axes
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return ring_mamba_vim(
+            self.ring_mesh, params, x, axis_name=seq_axis, impl=self.impl,
+            if_devide_out=self.if_devide_out, batch_axis=batch_axis,
+        )
+
     def __call__(self, hidden_states: jax.Array,
                  mask: Optional[jax.Array] = None) -> jax.Array:
+        if self.ring_mesh is not None and not self.is_initializing():
+            assert mask is None, "ring mode does not support masks"
+            return self._ring_forward(hidden_states)
         xz = self.in_proj(hidden_states)                      # (b, l, 2*d_in)
         if self._use_fuse_scan(xz.shape[1]):
             out_f, out_b = mamba_inner_bidir(

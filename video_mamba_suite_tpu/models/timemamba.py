@@ -80,6 +80,9 @@ class SpaceTimeBlock(nn.Module):
                          # "mlp" = MLP fc1/fc2 only (the only site where
                          # int8 wins end-to-end at TimeMamba-B scale —
                          # BASELINE.md round-3/4 serving notes)
+    ring_mesh: Any = None  # sequence-parallel temporal Mamba: shard the
+    ring_axes: Any = ("data", "seq")  # frame axis t over ring_axes[1]
+                         # (ppermute prefix rings; see models.MambaVim)
 
     @nn.compact
     def __call__(self, cls, patches, deterministic: bool = True):
@@ -89,6 +92,8 @@ class SpaceTimeBlock(nn.Module):
         if self.attention_style == "frozen-joint":
             # temporal Mamba over the JOINT patch-major (n t) sequence
             # (timemamba.py:136 keeps b (n t) d when frozen-joint)
+            assert self.ring_mesh is None, \
+                "frozen-joint scans (n·t); ring mode shards t only"
             ht = patches.reshape(B, n * t, D)
         else:
             # --- temporal Mamba per patch position (:130-141)
@@ -96,6 +101,8 @@ class SpaceTimeBlock(nn.Module):
         ht_n = nn.LayerNorm(dtype=self.dtype, name="norm3")(ht)
         time_out = MambaVim(d_model=D, expand=1, impl=self.impl,
                             dtype=self.dtype, quant=self.quant is True,
+                            ring_mesh=self.ring_mesh,
+                            ring_axes=tuple(self.ring_axes),
                             name="time_mamba")(ht_n)
         if self.is_tanh_gating:
             alpha = self.param("alpha_timeattn", nn.initializers.zeros, ())
@@ -170,6 +177,8 @@ class _BlockScanBody(nn.Module):
     deterministic: bool
     dtype: Any = None
     quant: Any = False
+    ring_mesh: Any = None
+    ring_axes: Any = ("data", "seq")
     group: int = 1   # blocks per scan step (HLO is O(group); larger groups
                      # amortize the while-loop carry copies — profiled at
                      # ~4.5 ms/block of pure copy/add overhead at group=1)
@@ -185,6 +194,7 @@ class _BlockScanBody(nn.Module):
                 is_tanh_gating=self.is_tanh_gating,
                 attention_style=self.attention_style, impl=self.impl,
                 dtype=self.dtype, quant=self.quant,
+                ring_mesh=self.ring_mesh, ring_axes=self.ring_axes,
                 name=f"block{gi}" if self.group > 1
                 else "block",
             )(cls, patches, deterministic=self.deterministic)
@@ -225,15 +235,35 @@ class TimeMamba(nn.Module):
                                     # config (the smaller projections lose
                                     # more to the per-token quantize pass
                                     # than the int8 MXU saves).
+    ring_mesh: Any = None           # composed data×sequence parallelism:
+    ring_axes: Any = ("data", "seq")  # temporal adapters ring-scan over
+                                    # ring_axes[1] (frame axis sharded);
+                                    # spatial attention/MLP stay local
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         B, T, H, W, C = x.shape
         p = self.patch_size
+
+        def _constrain(t, *spec):
+            """Ring mode: pin shardings at the reshape boundaries where
+            the batch ('data') and frame ('seq') axes merge/split — GSPMD's
+            propagation otherwise all-gathers the frame axis there and
+            computes the patch embed redundantly on every seq shard
+            (observed in the compiled HLO; hlo_audit catches it)."""
+            if self.ring_mesh is None or self.is_initializing():
+                return t  # init runs on a single example (indivisible dims)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.lax.with_sharding_constraint(
+                t, NamedSharding(self.ring_mesh, PartitionSpec(*spec)))
+
+        ba, sa = tuple(self.ring_axes)
+        xf = _constrain(x.reshape(B * T, H, W, C), (ba, sa))
         feat = nn.Conv(
             self.embed_dim, (p, p), strides=(p, p), padding="VALID",
             use_bias=not self.ln_pre, dtype=self.dtype, name="patch_embed",
-        )(x.reshape(B * T, H, W, C))
+        )(xf)
         BT, hh, ww, D = feat.shape
         n = hh * ww
         feat = feat.reshape(BT, n, D)
@@ -248,8 +278,19 @@ class TimeMamba(nn.Module):
         # layout: batch-0 cls kept separate; patches (B, n, T, D) patch-major
         # (:357-362) — the joint [cls; (n t)] sequence is never materialized
         # (two full-tensor copies per block saved; see SpaceTimeBlock)
-        cls_tokens = feat[:B, :1]
-        patches = feat[:, 1:].reshape(B, T, n, D).transpose(0, 2, 1, 3)
+        if self.ring_mesh is None:
+            cls_tokens = feat[:B, :1]
+        else:
+            # feat[:B, :1] ≡ cls + pos[:, :1] (the cls rows are concats of
+            # the same two params, untouched by the conv) — construct it
+            # directly: the slice's B rows all live on ONE shard of the
+            # merged (B·T) axis, so slicing would force a broadcast.
+            cls_tokens = jnp.broadcast_to(
+                (cls + pos[:, :1].astype(feat.dtype))[0], (B, 1, D))
+            cls_tokens = _constrain(cls_tokens, ba)
+        patches = _constrain(
+            feat[:, 1:].reshape(B, T, n, D).transpose(0, 2, 1, 3),
+            ba, None, sa)
         if self.ln_pre:
             # dtype matters: without it LayerNorm returns fp32 and the WHOLE
             # residual stream (the nn.scan carry) runs in fp32 — profiled at
@@ -299,7 +340,9 @@ class TimeMamba(nn.Module):
                 is_tanh_gating=self.is_tanh_gating,
                 attention_style=self.attention_style, impl=self.impl,
                 deterministic=deterministic, group=self.scan_group,
-                dtype=self.dtype, quant=self.quant, name="blocks",
+                dtype=self.dtype, quant=self.quant,
+                ring_mesh=self.ring_mesh, ring_axes=self.ring_axes,
+                name="blocks",
             )
             (cls_tokens, patches), _ = scanned((cls_tokens, patches), None)
         else:
@@ -311,7 +354,9 @@ class TimeMamba(nn.Module):
                     drop=self.drop_rate, drop_path=dpr[i],
                     is_tanh_gating=self.is_tanh_gating,
                     attention_style=self.attention_style, impl=self.impl,
-                    dtype=self.dtype, quant=self.quant, name=f"block{i}",
+                    dtype=self.dtype, quant=self.quant,
+                    ring_mesh=self.ring_mesh, ring_axes=self.ring_axes,
+                    name=f"block{i}",
                 )(cls_tokens, patches, deterministic=deterministic)
 
         h = nn.LayerNorm(name="norm")(cls_tokens)[:, 0]  # cls at last (:377)

@@ -15,6 +15,11 @@ from .multihost import (
     sync_global_devices,
 )
 from .expert import MoEMlp, ep_shard_params, moe_dispatch
+from .hlo_audit import (
+    audit_collectives,
+    collective_stats,
+    ring_permute_budget,
+)
 from .pipeline import pipeline_apply, pp_mamba_blocks, pp_stack_params
 from .ring_scan import ring_mamba_vim, ring_selective_scan
 from .tensor_parallel import tp_mamba_forward, tp_shard_params
@@ -29,6 +34,9 @@ __all__ = [
     "replicate_params",
     "data_parallel_sharding",
     "MoEMlp",
+    "audit_collectives",
+    "collective_stats",
+    "ring_permute_budget",
     "ep_shard_params",
     "moe_dispatch",
     "pipeline_apply",

@@ -145,6 +145,7 @@ def ring_selective_scan(
     axis_name: str = "seq",
     impl: str = "auto",
     reverse: bool = False,
+    batch_axis: Optional[str] = None,
 ) -> jax.Array:
     """Selective scan with the time axis sharded over `axis_name`.
 
@@ -153,10 +154,15 @@ def ring_selective_scan(
     end-to-end (the Pallas kernel's initial_state/last_state VJP carries
     the cross-shard cotangents through the ppermute chain).
     reverse=True chains shards anti-causally (the mixers' flip direction).
+
+    `batch_axis`: mesh axis the BATCH dim is sharded over (composed
+    data × sequence parallelism). Without it, running on a 2-D mesh makes
+    GSPMD all-gather the batch at the shard_map boundary (observed:
+    f32[B_full, l_shard, d] all-gathers in the compiled HLO).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "assoc"
-    seq_spec = P(None, axis_name, None)
+    seq_spec = P(batch_axis, axis_name, None)
     in_specs = [seq_spec, seq_spec, P(), seq_spec, seq_spec,
                 P(), seq_spec if z is not None else P(), P()]
     args = [u, delta, A, B, C,
@@ -247,6 +253,7 @@ def ring_mamba_vim(
     axis_name: str = "seq",
     impl: str = "auto",
     if_devide_out: bool = False,
+    batch_axis: Optional[str] = None,
 ):
     """Sequence-parallel MambaVim forward: x (batch, L, d_model) with L
     sharded over `axis_name`; params = a MambaVim parameter tree
@@ -255,6 +262,9 @@ def ring_mamba_vim(
     Bidirectional = one causal ring (fwd params) + one anti-causal ring
     (bwd params), exactly MambaVim.__call__'s flip semantics (SURVEY §5:
     'for bidirectional ViM/DBM do one ring each direction').
+
+    `batch_axis`: mesh axis the batch dim is sharded over, for composed
+    data × sequence parallelism on a 2-D mesh (see ring_selective_scan).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "assoc"
@@ -278,8 +288,8 @@ def ring_mamba_vim(
 
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(None, axis_name, None),),
-        out_specs=P(None, axis_name, None),
+        in_specs=(P(batch_axis, axis_name, None),),
+        out_specs=P(batch_axis, axis_name, None),
         check_vma=False,
     )
     return f(x)
