@@ -98,11 +98,23 @@ def test_caption_metrics():
     c_bad = cider_d(["nothing relevant here", "words words", "foo bar"], refs)
     assert c_bad < c
 
-    preds = {"v1": [dict(timestamp=[0, 10], sentence="a man cooks", score=0.9)]}
-    gt = {"v1": [dict(timestamp=[0, 10], sentence="a man cooks")]}
+    # protocol evaluator: two perfectly-localized, perfectly-captioned
+    # events in one video (≥2 instances so the per-video CIDEr idf —
+    # computed per compute_score call, i.e. per video — is non-zero)
+    preds = {"v1": [
+        dict(timestamp=[0, 10], sentence="a man cooks dinner", score=0.9),
+        dict(timestamp=[20, 30], sentence="a dog runs fast", score=0.8),
+    ]}
+    gt = {"v1": [
+        dict(timestamp=[0, 10], sentence="a man cooks dinner"),
+        dict(timestamp=[20, 30], sentence="a dog runs fast"),
+    ]}
     res = evaluate_dvc(preds, gt)
     assert res["recall"] == 100.0 and res["precision"] == 100.0
     assert res["BLEU4"] > 99.0
+    assert res["METEOR"] > 99.0
+    assert res["ROUGE_L"] == 100.0
+    assert res["CIDEr"] > 500.0  # perfect match = raw 10 → 1000 after x100
     assert soda_c(preds, gt) > 90.0
 
 

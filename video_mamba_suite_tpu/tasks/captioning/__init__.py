@@ -22,6 +22,13 @@ from .metrics import (
     rerank_predictions,
     soda_c,
 )
+from .scorers import (
+    bleu_corpus,
+    cider_corpus,
+    meteor_corpus,
+    ptb_tokenize,
+    rouge_l_corpus,
+)
 from .train import CaptioningTrainer
 
 __all__ = [
@@ -30,8 +37,13 @@ __all__ = [
     "hungarian_match",
     "pdvc_losses",
     "bleu4",
+    "bleu_corpus",
+    "cider_corpus",
     "cider_d",
+    "meteor_corpus",
+    "ptb_tokenize",
     "rouge_l",
+    "rouge_l_corpus",
     "evaluate_dvc",
     "evaluate_para",
     "rerank_predictions",

@@ -163,20 +163,25 @@ def porter_stem(word: str) -> str:
 def _align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int]]:
     """One-to-one (hyp_idx, ref_idx) alignment via sequential stages:
     exact match first, then Porter-stem match on the leftovers (the jar's
-    module order with the synonym stage omitted)."""
+    module order with the synonym stage omitted).
+
+    Tie-breaking follows nltk.translate.meteor_score exactly (hypothesis
+    words scanned DESCENDING, each matched to the LAST still-free reference
+    occurrence) so the two independent implementations agree bit-for-bit
+    on every sentence pair — the conformance test in
+    tests/test_caption_protocol.py asserts this."""
     matches: List[Tuple[int, int]] = []
     h_free = set(range(len(hyp)))
     r_free = set(range(len(ref)))
 
     def stage(key):
-        nonlocal matches
         r_by_key = {}
         for j in sorted(r_free):
             r_by_key.setdefault(key(ref[j]), []).append(j)
-        for i in sorted(h_free):
+        for i in sorted(h_free, reverse=True):
             k = key(hyp[i])
             if r_by_key.get(k):
-                j = r_by_key[k].pop(0)
+                j = r_by_key[k].pop()
                 matches.append((i, j))
                 h_free.discard(i)
                 r_free.discard(j)
@@ -197,19 +202,28 @@ def _count_chunks(matches: List[Tuple[int, int]]) -> int:
     return chunks
 
 
-def meteor_pair(hypothesis: str, reference: str, alpha: float = 0.9,
-                beta: float = 3.0, gamma: float = 0.5) -> float:
-    """METEOR score of one hypothesis/reference pair."""
+def meteor_stats(hypothesis: str, reference: str) -> Tuple[int, int, int, int]:
+    """Alignment statistics of one pair: (matches, chunks, hyp_len, ref_len).
+
+    The jar's system-level score sums these over segments before computing
+    P/R/F-mean/penalty once (scorers.meteor_corpus); per-pair scoring
+    derives from the same stats."""
     hyp = hypothesis.lower().split()
     ref = reference.lower().split()
     matches = _align(hyp, ref)
-    m = len(matches)
-    if m == 0 or not hyp or not ref:
+    return len(matches), _count_chunks(matches), len(hyp), len(ref)
+
+
+def meteor_pair(hypothesis: str, reference: str, alpha: float = 0.9,
+                beta: float = 3.0, gamma: float = 0.5) -> float:
+    """METEOR score of one hypothesis/reference pair."""
+    m, chunks, len_h, len_r = meteor_stats(hypothesis, reference)
+    if m == 0 or len_h == 0 or len_r == 0:
         return 0.0
-    precision = m / len(hyp)
-    recall = m / len(ref)
+    precision = m / len_h
+    recall = m / len_r
     f_mean = precision * recall / (alpha * precision + (1 - alpha) * recall)
-    penalty = gamma * (_count_chunks(matches) / m) ** beta
+    penalty = gamma * (chunks / m) ** beta
     return f_mean * (1.0 - penalty)
 
 

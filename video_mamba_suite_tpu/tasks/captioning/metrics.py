@@ -1,12 +1,14 @@
-"""Dense-captioning evaluation: caption scorers + dvc/SODA harnesses.
+"""Dense-captioning evaluation: dvc/para/SODA harnesses + sentence scorers.
 
 Reference: /root/reference/video-mamba-suite/video-dense-captioning/
-densevid_eval3/ (the 2018/2021 ActivityNet scorers) + eval_soda.py. Numpy
-implementations of BLEU-4, ROUGE-L and CIDEr-D; METEOR is replaced by a
-exact+Porter-stem implementation (`meteor.py`; no WordNet in this
-environment — documented deviation). `evaluate_dvc` matches predictions to
-GT per tIoU (2018-scorer style); `soda_c` runs the SODA dynamic-programming
-optimal story matching with tIoU × caption-score rewards.
+densevid_eval3/ (evaluate2018.py / para_evaluate.py / eval_soda.py) +
+eval_utils.py. `evaluate_dvc` and `evaluate_para` follow those protocols
+EXACTLY (pair construction incl. garbage refs, per-video vs corpus scoring
+granularity, PTB/parse_sent normalization) on the protocol-exact corpus
+scorers in `scorers.py`; parity status and the one documented deviation
+(METEOR jar → exact+Porter-stem METEOR, no WordNet/JVM here) are recorded
+in PARITY.md. The sentence-level helpers below (bleu4 / rouge_l / cider_d)
+are convenience utilities, NOT the protocol path.
 """
 
 from __future__ import annotations
@@ -76,23 +78,6 @@ def rouge_l(hyp: str, refs: List[str], beta: float = 1.2) -> float:
     return best
 
 
-def meteor_lite(hyp: str, refs: List[str], alpha: float = 0.9) -> float:
-    """Synonym-free METEOR: unigram harmonic mean (recall-weighted), max over
-    refs. (The reference uses the Java METEOR jar; WordNet is unavailable
-    here — scores are comparable but not identical.)"""
-    h = Counter(hyp.split())
-    best = 0.0
-    for ref in refs:
-        r = Counter(ref.split())
-        m = sum((h & r).values())
-        if m == 0:
-            continue
-        prec = m / max(sum(h.values()), 1)
-        rec = m / max(sum(r.values()), 1)
-        best = max(best, prec * rec / (alpha * prec + (1 - alpha) * rec))
-    return best
-
-
 def cider_d(hyps: List[str], refs_list: List[List[str]], n: int = 4,
             sigma: float = 6.0) -> float:
     """Corpus CIDEr-D: tf-idf weighted n-gram cosine with length penalty."""
@@ -143,60 +128,114 @@ def cider_d(hyps: List[str], refs_list: List[List[str]], n: int = 4,
 
 
 def _tiou(a: Sequence[float], b: Sequence[float]) -> float:
+    """evaluate2018.py:91-97 — note the reference's union is
+    min(hull, sum-of-lengths) with a +1e-8 stabilizer."""
     inter = max(0.0, min(a[1], b[1]) - max(a[0], b[0]))
-    union = max(a[1], b[1]) - min(a[0], b[0])
-    return inter / union if union > 0 else 0.0
+    union = min(max(a[1], b[1]) - min(a[0], b[0]),
+                (a[1] - a[0]) + (b[1] - b[0]))
+    return inter / (union + 1e-8)
+
+
+def _as_gt_list(ground_truth) -> List[Dict[str, List[dict]]]:
+    return ground_truth if isinstance(ground_truth, list) else [ground_truth]
 
 
 def evaluate_dvc(
     predictions: Dict[str, List[dict]],   # vid → [{timestamp, sentence, score?}]
-    ground_truth: Dict[str, List[dict]],  # vid → [{timestamp, sentence}]
+    ground_truth,                          # vid → [{timestamp, sentence}] or
+                                           # a list of such dicts (multi-file)
     tious: Sequence[float] = (0.3, 0.5, 0.7, 0.9),
 ) -> Dict[str, float]:
-    """2018-scorer style: localization recall/precision averaged over tIoUs +
-    caption metrics (BLEU4/METEOR-lite/ROUGE-L/CIDEr) on tIoU-matched pairs."""
-    recalls, precisions = [], []
-    matched_hyps: List[str] = []
-    matched_refs: List[List[str]] = []
+    """PROTOCOL-exact 2018 evaluator (densevid_eval3/evaluate2018.py):
+
+    Per tIoU: every (prediction, GT) pair with IoU ≥ tIoU becomes a scoring
+    instance (ALL overlapping GTs, not just the best); predictions matching
+    nothing are paired with the garbage reference 'abc123!@#' (:205-210).
+    Captions are PTB-tokenized; each CORPUS scorer (scorers.py) runs once
+    PER VIDEO over that video's instances, scores are averaged over videos
+    (:229-247), then over tIoUs (eval_utils.py:131 sum(v)/len(v)), ×100.
+
+    Detection recall/precision (:127-158): per-video covered fractions with
+    STRICT IoU > tIoU, best over GT files, averaged over videos and tIoUs.
+    """
+    from .scorers import (
+        bleu_corpus,
+        cider_corpus,
+        meteor_corpus,
+        ptb_tokenize,
+        rouge_l_corpus,
+    )
+
+    gt_list = _as_gt_list(ground_truth)
+    gt_vid_ids = sorted({v for gt in gt_list for v in gt.keys()})
+
+    # --- detection (evaluate_detection): per-video best-over-gt-files
+    det_recall, det_precision = [], []
     for tiou in tious:
-        n_gt = n_pred = n_hit_gt = n_hit_pred = 0
-        for vid, gts in ground_truth.items():
+        recs, precs = [], []
+        for vid in gt_vid_ids:
+            best_r = best_p = 0.0
             preds = predictions.get(vid, [])
-            n_gt += len(gts)
-            n_pred += len(preds)
-            for g in gts:
-                if any(_tiou(p["timestamp"], g["timestamp"]) >= tiou
-                       for p in preds):
-                    n_hit_gt += 1
-            for p in preds:
-                best, best_g = 0.0, None
-                for g in gts:
-                    t = _tiou(p["timestamp"], g["timestamp"])
-                    if t > best:
-                        best, best_g = t, g
-                if best >= tiou:
-                    n_hit_pred += 1
-                    matched_hyps.append(p["sentence"])
-                    matched_refs.append([best_g["sentence"]])
-        recalls.append(n_hit_gt / max(n_gt, 1))
-        precisions.append(n_hit_pred / max(n_pred, 1))
+            for gt in gt_list:
+                if vid not in gt:
+                    continue
+                refs = gt[vid]
+                ref_cov, pred_cov = set(), set()
+                for pi, p in enumerate(preds):
+                    for ri, g in enumerate(refs):
+                        if _tiou(p["timestamp"], g["timestamp"]) > tiou:
+                            ref_cov.add(ri)
+                            pred_cov.add(pi)
+                if preds:
+                    best_p = max(best_p, len(pred_cov) / len(preds))
+                best_r = max(best_r, len(ref_cov) / max(len(refs), 1))
+            recs.append(best_r)
+            precs.append(best_p)
+        det_recall.append(float(np.mean(recs)) if recs else 0.0)
+        det_precision.append(float(np.mean(precs)) if precs else 0.0)
+
+    # --- captioning: per-tIoU pair building + per-video corpus scoring
+    metric_acc: Dict[str, List[float]] = defaultdict(list)
+    scorer_fns = [
+        ("BLEU4", lambda g, r: bleu_corpus(g, r, 4)[0][3]),
+        ("METEOR", lambda g, r: meteor_corpus(g, r)[0]),
+        ("ROUGE_L", lambda g, r: rouge_l_corpus(g, r)[0]),
+        ("CIDEr", lambda g, r: cider_corpus(g, r)[0]),
+    ]
+    for tiou in tious:
+        vid_res: Dict[str, Dict[int, List[str]]] = {}
+        vid_gts: Dict[str, Dict[int, List[str]]] = {}
+        uid = 0
+        for vid in gt_vid_ids:
+            vid_res[vid] = {}
+            vid_gts[vid] = {}
+            for p in predictions.get(vid, []):
+                added = False
+                for gt in gt_list:
+                    for g in gt.get(vid, []):
+                        if _tiou(p["timestamp"], g["timestamp"]) >= tiou:
+                            vid_res[vid][uid] = [ptb_tokenize(p["sentence"])]
+                            vid_gts[vid][uid] = [ptb_tokenize(g["sentence"])]
+                            uid += 1
+                            added = True
+                if not added:
+                    vid_res[vid][uid] = [ptb_tokenize(p["sentence"])]
+                    vid_gts[vid][uid] = [ptb_tokenize("abc123!@#")]
+                    uid += 1
+        for name, fn in scorer_fns:
+            per_vid = [
+                fn(vid_gts[v], vid_res[v]) if vid_res[v] else 0.0
+                for v in gt_vid_ids
+            ]
+            metric_acc[name].append(float(np.mean(per_vid)) if per_vid
+                                    else 0.0)
+
     out = {
-        "recall": 100 * float(np.mean(recalls)),
-        "precision": 100 * float(np.mean(precisions)),
+        "recall": 100 * float(np.mean(det_recall)),
+        "precision": 100 * float(np.mean(det_precision)),
     }
-    if matched_hyps:
-        out["BLEU4"] = 100 * float(np.mean(
-            [bleu4(h, r) for h, r in zip(matched_hyps, matched_refs)]
-        ))
-        out["METEOR"] = 100 * float(np.mean(
-            [meteor(h, r) for h, r in zip(matched_hyps, matched_refs)]
-        ))
-        out["ROUGE_L"] = 100 * float(np.mean(
-            [rouge_l(h, r) for h, r in zip(matched_hyps, matched_refs)]
-        ))
-        out["CIDEr"] = 100 * cider_d(matched_hyps, matched_refs)
-    else:
-        out.update(BLEU4=0.0, METEOR=0.0, ROUGE_L=0.0, CIDEr=0.0)
+    for name, _ in scorer_fns:
+        out[name] = 100 * float(np.mean(metric_acc[name]))
     return out
 
 
@@ -233,39 +272,49 @@ def evaluate_para(
     predictions: Dict[str, List[dict]],   # vid → [{sentence, ...}] in order
     para_ground_truth: "Dict[str, str] | List[Dict[str, str]]",
 ) -> Dict[str, float]:
-    """Paragraph-captioning evaluation (the PDVC suite's second advertised
-    capability): per video, the predicted events' sentences are concatenated
-    IN STORED ORDER into one paragraph and scored against the paragraph GT
-    with corpus-averaged BLEU1-4 / METEOR / ROUGE-L / CIDEr, keys prefixed
-    ``para_``. Matches densevid_eval3/para_evaluate.py:108-125 +
-    eval_para.py (sentence normalization = parse_sent: letters only,
-    lowercased). Videos missing from `predictions` score as empty hyps,
-    exactly like the reference's `[''],`.
+    """PROTOCOL-exact paragraph evaluation (densevid_eval3/para_evaluate.py):
+    per video, the predicted events' sentences are concatenated IN STORED
+    ORDER ('sentence' + '. ', :77-80) into one paragraph, normalized with
+    parse_sent (letters only, lowercase, :25-28), and the CORPUS scorers run
+    ONCE over all videos (:130-137 — corpus BLEU/CIDEr/METEOR aggregate, not
+    per-video means), ×100 (:182). Keys prefixed ``para_``. Videos missing
+    from `predictions` score as empty hyps, exactly like the reference's
+    `['']`.
 
     para_ground_truth: {vid: paragraph} or a list of such dicts (multiple
     reference files).
     """
+    from .scorers import (
+        bleu_corpus,
+        cider_corpus,
+        meteor_corpus,
+        rouge_l_corpus,
+    )
+
     gts_list = (
         para_ground_truth if isinstance(para_ground_truth, list)
         else [para_ground_truth]
     )
     vid_ids = sorted({v for gt in gts_list for v in gt.keys()})
-    hyps: List[str] = []
-    refs: List[List[str]] = []
-    for vid in vid_ids:
+    res: Dict[int, List[str]] = {}
+    gts: Dict[int, List[str]] = {}
+    for i, vid in enumerate(vid_ids):
         events = predictions.get(vid, [])
-        para = ". ".join(e["sentence"] for e in events)
-        hyps.append(_parse_sent(para))
-        refs.append([_parse_sent(gt[vid]) for gt in gts_list if vid in gt])
+        para = "".join(e["sentence"] + ". " for e in events)
+        res[i] = [_parse_sent(para)]
+        gts[i] = [_parse_sent(gt[vid]) for gt in gts_list if vid in gt]
     out: Dict[str, float] = {}
+    if not vid_ids:
+        for n in range(1, 5):
+            out[f"para_Bleu_{n}"] = 0.0
+        out.update(para_METEOR=0.0, para_ROUGE_L=0.0, para_CIDEr=0.0)
+        return out
+    bleus, _ = bleu_corpus(gts, res, 4)
     for n in range(1, 5):
-        out[f"para_Bleu_{n}"] = 100 * float(np.mean(
-            [_bleu_n(h, r, n) for h, r in zip(hyps, refs)])) if hyps else 0.0
-    out["para_METEOR"] = 100 * float(np.mean(
-        [meteor(h, r) for h, r in zip(hyps, refs)])) if hyps else 0.0
-    out["para_ROUGE_L"] = 100 * float(np.mean(
-        [rouge_l(h, r) for h, r in zip(hyps, refs)])) if hyps else 0.0
-    out["para_CIDEr"] = 100 * cider_d(hyps, refs) if hyps else 0.0
+        out[f"para_Bleu_{n}"] = 100 * bleus[n - 1]
+    out["para_METEOR"] = 100 * meteor_corpus(gts, res)[0]
+    out["para_ROUGE_L"] = 100 * rouge_l_corpus(gts, res)[0]
+    out["para_CIDEr"] = 100 * cider_corpus(gts, res)[0]
     return out
 
 
@@ -302,7 +351,8 @@ def rerank_predictions(
 def soda_c(predictions: Dict[str, List[dict]],
            ground_truth: Dict[str, List[dict]]) -> float:
     """SODA-c (eval_soda.py:45): per-video optimal order-preserving
-    matching (DP) of predictions to GT with reward = tIoU × METEOR-lite;
+    matching (DP) of predictions to GT with reward = tIoU × METEOR (the
+    exact+Porter-stem scorer, meteor.py — same family as evaluate_dvc);
     F-measure averaged over videos."""
     fs = []
     for vid, gts in ground_truth.items():
