@@ -559,6 +559,56 @@ def test_pallas_complex_a():
         np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
                                    rtol=1e-5, atol=1e-5)
 
+    # complex dA through the kernel adjoint (real/imag channels): compare
+    # via real parametrization so the complex-grad convention cancels
+    def loss_p(ar, ai):
+        return jnp.sum(selective_scan_pallas(
+            u, delta, ar + 1j * ai, B, C, chunk=32, **kw) * g)
+
+    def loss_r(ar, ai):
+        return jnp.sum(selective_scan_assoc(
+            u, delta, ar + 1j * ai, B, C, **kw) * g)
+
+    dp_ = jax.grad(loss_p, argnums=(0, 1))(A.real, A.imag)
+    dr_ = jax.grad(loss_r, argnums=(0, 1))(A.real, A.imag)
+    for a_, r_ in zip(dp_, dr_):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_complex_last_state_cotangent():
+    """The complex kernel adjoint PROPAGATES the last-state cotangent
+    (the reference SelectiveScanFn drops it; the sequence-parallel ring
+    chains through it) — checked against the XLA-autodiffed ref."""
+    rng = jax.random.PRNGKey(29)
+    b, l, d, n = 2, 64, 8, 4
+    ks = jax.random.split(rng, 7)
+    u = jax.random.normal(ks[0], (b, l, d))
+    delta = 0.5 * jax.random.uniform(ks[1], (b, l, d))
+    A = (-0.5 * jax.random.uniform(ks[2], (d, n))
+         + 1j * jax.random.normal(ks[5], (d, n))).astype(jnp.complex64)
+    B = jax.random.normal(ks[3], (b, l, n))
+    C = jax.random.normal(ks[4], (b, l, n))
+    glast = (jax.random.normal(ks[6], (b, d, n))
+             + 1j * jax.random.normal(ks[0], (b, d, n))).astype(jnp.complex64)
+
+    def loss(fn, u, delta, B, C):
+        _, last = fn(u, delta, A, B, C, delta_softplus=True,
+                     return_last_state=True)
+        return jnp.real(jnp.sum(last * jnp.conj(glast)))
+
+    import functools
+
+    gp = jax.grad(functools.partial(loss, functools.partial(
+        selective_scan_pallas, chunk=32)), argnums=(0, 1, 2, 3))(
+            u, delta, B, C)
+    gr = jax.grad(functools.partial(loss, selective_scan_ref),
+                  argnums=(0, 1, 2, 3))(u, delta, B, C)
+    assert float(jnp.abs(gp[0]).max()) > 0  # cotangent actually flows
+    for a_, r_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
+                                   rtol=2e-4, atol=2e-4)
+
 
 def test_bidir_bwd_dispatches_fused_kernel(monkeypatch):
     """Training grads through mamba_inner_bidir at the adapter shape must

@@ -1498,18 +1498,29 @@ def selective_scan_pallas_bidir(
 #   hr' = Re(a)·hr − Im(a)·hi + dt·B·u      (B, C, u real)
 #   hi' = Im(a)·hr + Re(a)·hi
 #   y_t = 2 · Σ_n C_t,n · hr                (the reference's `y.real * 2`)
-# Training gradients route through the XLA associative-scan adjoint (complex
-# A appears in no task suite's training path; the Pallas win is inference).
+# Training gradients run the SAME reverse chunk walk as the real path
+# (_cbwd_kernel: per-chunk state recompute from two-channel checkpoints +
+# the sequential adjoint dh_{t-1} = conj(a)·dh_t with exact dh0/last-state
+# cotangents) — the two-channel analogue of the reference's complex bwd
+# dispatch (selective_scan_bwd_kernel.cuh complex stubs, selective_scan.cpp
+# :310-330). No Hillis–Steele small-batch complex variant: complex A has no
+# in-tree training user and the axon platform blocks on-chip complex at the
+# API boundary anyway, so the sequential kernel covers every batch size.
 
 
 def _cfwd_kernel(
     u_ref, delta_ref, ar_ref, ai_ref, b_ref, c_ref, d_ref, z_ref, bias_ref,
     h0r_ref, h0i_ref,
-    out_ref, lastr_ref, lasti_ref,
-    hr_carry, hi_carry,
-    *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
-    chunk: int, seqlen: int,
+    out_ref, *rest,
+    softplus: bool, has_d: bool, has_z: bool, nchunks: int,
+    chunk: int, seqlen: int, want_states: bool = False,
 ):
+    if want_states:
+        (statesr_ref, statesi_ref, lastr_ref, lasti_ref,
+         hr_carry, hi_carry) = rest
+    else:
+        (lastr_ref, lasti_ref, hr_carry, hi_carry) = rest
+        statesr_ref = statesi_ref = None
     li = pl.program_id(2)
 
     @pl.when(li == 0)
@@ -1529,6 +1540,11 @@ def _cfwd_kernel(
 
     hr = hr_carry[...]                             # (bt, n, d)
     hi = hi_carry[...]
+    if want_states:
+        # chunk-initial checkpoints for the bwd (x_ptr analogue), one per
+        # channel
+        statesr_ref[...] = hr[:, None]
+        statesi_ref[...] = hi[:, None]
     ys = [None] * c
     for t in range(c):
         dt_t = _row1(dt, t)[:, None, :]
@@ -1558,8 +1574,141 @@ def _cfwd_kernel(
         lasti_ref[...] = hi
 
 
+def _cbwd_kernel(
+    u_ref, delta_ref, ar_ref, ai_ref, b_ref, c_ref, d_ref, z_ref, bias_ref,
+    statesr_ref, statesi_ref, g_ref, glastr_ref, glasti_ref,
+    du_ref, ddelta_ref, dar_ref, dai_ref, db_ref, dc_ref, dd_ref, dz_ref,
+    dbias_ref, dh0r_ref, dh0i_ref,
+    dhr_carry, dhi_carry,
+    *, softplus: bool, has_d: bool, has_z: bool, nchunks: int,
+    chunk: int, seqlen: int,
+):
+    """Complex-A reverse chunk walk, the two-real-channel mirror of
+    _bwd_kernel: recompute the in-chunk forward (hr, hi) trajectories from
+    the checkpointed chunk-initial states, then run the adjoint recurrence
+    dh_{t-1} = conj(a)·dh_t backwards, carrying the complex cross-chunk
+    cotangent as two VMEM scratch channels. Exact dh0/last-state
+    cotangents, like the real kernel."""
+    li = pl.program_id(2)  # index maps reverse it: li=0 is the LAST chunk
+
+    @pl.when(li == 0)
+    def _():
+        dhr_carry[...] = glastr_ref[...]
+        dhi_carry[...] = glasti_ref[...]
+        dar_ref[0] = jnp.zeros_like(dar_ref[0])
+        dai_ref[0] = jnp.zeros_like(dai_ref[0])
+        dd_ref[0] = jnp.zeros_like(dd_ref[0])
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    ar_t = ar_ref[...].astype(jnp.float32)
+    ai_t = ai_ref[...].astype(jnp.float32)
+    bias_t = bias_ref[0].astype(jnp.float32)
+    u, dt_pre, dt, mask, bmat, cmat = _chunk_prep(
+        u_ref, delta_ref, b_ref, c_ref, bias_t, softplus,
+        nchunks - 1 - li, chunk, seqlen)
+    bt, c, d = u.shape
+    n = ar_t.shape[0]
+    dtu = dt * u
+
+    # forward recompute from the two-channel chunk-initial checkpoint
+    h0r = statesr_ref[...][:, 0]                   # (bt, n, d)
+    h0i = statesi_ref[...][:, 0]
+    hr, hi = h0r, h0i
+    hrs, his = [None] * c, [None] * c
+    for t in range(c):
+        dt_t = _row1(dt, t)[:, None, :]
+        mag = jnp.exp(dt_t * ar_t[None])
+        ang = dt_t * ai_t[None]
+        car = mag * jnp.cos(ang)
+        cai = mag * jnp.sin(ang)
+        bu = _row1(dtu, t)[:, None, :] * _col(bmat, t)
+        hr_new = car * hr - cai * hi + bu
+        hi = cai * hr + car * hi
+        hr = hr_new
+        hrs[t], his[t] = hr, hi
+
+    g = g_ref[...].astype(jnp.float32)             # (bt, c, d) dL/dout
+    if has_z:
+        z = z_ref[...].astype(jnp.float32)
+        sig = jax.nn.sigmoid(z)
+        silu = z * sig
+        ys = [2.0 * jnp.sum(hrs[t] * _col(cmat, t), axis=1)[:, None]
+              for t in range(c)]
+        y_pre = jnp.concatenate(ys, axis=1)
+        if has_d:
+            y_pre = y_pre + u * d_ref[0].astype(jnp.float32)[None]
+        dz_ref[...] = (g * y_pre * (sig + silu * (1.0 - sig))).astype(
+            dz_ref.dtype)
+        gy = g * silu                              # grad w.r.t. pre-gate y
+    else:
+        gy = g
+
+    dhr = dhr_carry[...]                           # (bt, n, d) ×2 channels
+    dhi = dhi_carry[...]
+    dar_acc = jnp.zeros((n, d), jnp.float32)
+    dai_acc = jnp.zeros((n, d), jnp.float32)
+    dcs, dbs, ddts, dus = [None] * c, [None] * c, [None] * c, [None] * c
+    for t in range(c - 1, -1, -1):
+        gy_t = _row1(gy, t)                        # (bt, d)
+        dt_t = _row1(dt, t)[:, None, :]
+        mag = jnp.exp(dt_t * ar_t[None])
+        ang = dt_t * ai_t[None]
+        car = mag * jnp.cos(ang)
+        cai = mag * jnp.sin(ang)
+        # y_t = 2·Σ_n C·hr  ⇒ the output cotangent enters the real channel
+        dhr = dhr + 2.0 * _col(cmat, t) * gy_t[:, None, :]
+        hr_prev = hrs[t - 1] if t > 0 else h0r
+        hi_prev = his[t - 1] if t > 0 else h0i
+        # hr_t = car·hr_p − cai·hi_p + bu ; hi_t = cai·hr_p + car·hi_p
+        dcar = dhr * hr_prev + dhi * hi_prev
+        dcai = -dhr * hi_prev + dhi * hr_prev
+        # car = mag·cos(ang), cai = mag·sin(ang)
+        dmag = dcar * jnp.cos(ang) + dcai * jnp.sin(ang)
+        dang = -dcar * cai + dcai * car
+        # mag = exp(dt·Ar) ⇒ ∂mag/∂Ar = mag·dt ; ang = dt·Ai ⇒ ∂ang/∂Ai = dt
+        dmag_mag = dmag * mag
+        dar_acc = dar_acc + jnp.sum(dmag_mag * dt_t, axis=0)
+        dai_acc = dai_acc + jnp.sum(dang * dt_t, axis=0)
+        dcs[t] = 2.0 * jnp.sum(gy_t[:, None, :] * hrs[t], axis=2)[:, :, None]
+        dbs[t] = jnp.sum(dhr * _row1(dtu, t)[:, None, :], axis=2)[:, :, None]
+        dh_b = jnp.sum(dhr * _col(bmat, t), axis=1)  # (bt, d)
+        ddts[t] = (jnp.sum(dmag_mag * ar_t[None] + dang * ai_t[None], axis=1)
+                   + dh_b * _row1(u, t))[:, None]
+        dus[t] = (dh_b * _row1(dt, t))[:, None]
+        # dh_{t-1} = conj(a)·dh_t in two channels
+        dhr_new = car * dhr + cai * dhi
+        dhi = -cai * dhr + car * dhi
+        dhr = dhr_new
+    dhr_carry[...] = dhr
+    dhi_carry[...] = dhi
+
+    @pl.when(li == nchunks - 1)
+    def _():
+        dh0r_ref[...] = dhr
+        dh0i_ref[...] = dhi
+
+    dar_ref[0] += dar_acc
+    dai_ref[0] += dai_acc
+    dc_ref[0] = jnp.swapaxes(
+        jnp.concatenate(dcs, axis=2), 1, 2).astype(dc_ref.dtype)
+    db_ref[0] = jnp.swapaxes(
+        jnp.concatenate(dbs, axis=2), 1, 2).astype(db_ref.dtype)
+    du = jnp.concatenate(dus, axis=1)              # (bt, c, d)
+    if has_d:
+        dval = d_ref[0].astype(jnp.float32)
+        du = du + gy * dval[None]
+        dd_ref[0] += jnp.sum(gy * u, axis=(0, 1), keepdims=False)[None]
+    du_ref[...] = du.astype(du_ref.dtype)
+    ddt = jnp.concatenate(ddts, axis=1)
+    if softplus:
+        ddt = ddt * jax.nn.sigmoid(dt_pre)
+    ddt = ddt * mask  # padded steps contribute nothing to dbias
+    ddelta_ref[...] = ddt.astype(ddelta_ref.dtype)
+    dbias_ref[0] += jnp.sum(ddt, axis=(0, 1), keepdims=False)[None]
+
+
 def _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i,
-                      softplus, chunk, dtile, interpret):
+                      softplus, chunk, dtile, interpret, want_states=False):
     batch, seqlen, dim = u.shape
     dstate = Ar.shape[1]
     ngroups = B.shape[2]
@@ -1577,7 +1726,7 @@ def _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i,
     h0rp = _pad_h0(h0r, bp, dim, dstate, dp, u.dtype)
     h0ip = _pad_h0(h0i, bp, dim, dstate, dp, u.dtype)
 
-    ld_spec, ln_spec, z_spec, a_spec, vec_spec, _ = _specs(
+    ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec = _specs(
         bt, chunk, dtile, dstate, nchunks, has_z, reverse=False,
         ngroups=ngroups, ndt=ndt,
     )
@@ -1587,90 +1736,166 @@ def _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i,
     kernel = functools.partial(
         _cfwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
         nchunks=nchunks, chunk=chunk, seqlen=seqlen,
+        want_states=want_states,
     )
-    out, lastr, lasti = pl.pallas_call(
+    states_shape = jax.ShapeDtypeStruct((bp, nchunks, dstate, dp),
+                                        jnp.float32)
+    out_specs = ([ld_spec]
+                 + ([states_spec, states_spec] if want_states else [])
+                 + [last_spec, last_spec])
+    out_shape = ([jax.ShapeDtypeStruct((bp, lp, dp), u.dtype)]
+                 + ([states_shape, states_shape] if want_states else [])
+                 + [jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),
+                    jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32)])
+    outs = pl.pallas_call(
         kernel,
         grid=(nbt, ndt, nchunks),
         in_specs=[ld_spec, ld_spec, a_spec, a_spec, ln_spec, ln_spec,
                   vec_spec, z_spec, vec_spec, last_spec, last_spec],
-        out_specs=[ld_spec, last_spec, last_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, lp, dp), u.dtype),
-            jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),
-            jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, dstate, dtile), jnp.float32),
                         pltpu.VMEM((bt, dstate, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
         interpret=interpret,
     )(up, deltap, Art, Ait, Bp, Cp, Dp, zp, biasp, h0rp, h0ip)
+    if want_states:
+        out, statesr, statesi, lastr, lasti = outs
+    else:
+        out, lastr, lasti = outs
+        statesr = statesi = None
 
     out = out[:batch, :seqlen, :dim]
-    last = (jnp.swapaxes(lastr, 1, 2) + 1j * jnp.swapaxes(lasti, 1, 2))
-    return out, last[:batch, :dim].astype(jnp.complex64)
+    lastr = jnp.swapaxes(lastr, 1, 2)[:batch, :dim]  # (batch, dim, dstate)
+    lasti = jnp.swapaxes(lasti, 1, 2)[:batch, :dim]
+    return out, statesr, statesi, lastr, lasti
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def _complex_core(u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i,
                   softplus: bool, chunk: int, dtile: int, interpret: bool):
-    return _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
-                             h0r, h0i, softplus, chunk, dtile, interpret)
+    # primal: skip the two checkpoint writes (the VJP fwd re-runs with
+    # want_states=True, exactly like the real _scan_core)
+    out, _, _, lastr, lasti = _complex_fwd_impl(
+        u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i,
+        softplus, chunk, dtile, interpret, want_states=False)
+    return out, lastr, lasti
 
 
 def _complex_core_fwd(u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i,
                       softplus, chunk, dtile, interpret):
-    outs = _complex_fwd_impl(u, delta, Ar, Ai, B, C, D, z, delta_bias,
-                             h0r, h0i, softplus, chunk, dtile, interpret)
-    return outs, (u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i)
+    out, statesr, statesi, lastr, lasti = _complex_fwd_impl(
+        u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i,
+        softplus, chunk, dtile, interpret, want_states=True)
+    res = (u, delta, Ar, Ai, B, C, D, z, delta_bias, statesr, statesi)
+    return (out, lastr, lasti), res
 
 
 def _complex_core_bwd(softplus, chunk, dtile, interpret, res, cot):
-    """Adjoint via the XLA associative-scan path (exact same math; the
-    last-state cotangent is dropped, as in the reference SelectiveScanFn).
-    The incoming-prefix contribution h_t += exp(S_t·A)·h0 (S = cumsum dt) is
-    added analytically so d(h0) and the h0-dependence of the other grads are
-    exact — |exp(S·A)| ≤ 1 for Re(A) < 0, so the form is stable."""
-    from .selective_scan import selective_scan_assoc
+    """Kernel-native complex adjoint: the _cbwd_kernel reverse chunk walk
+    (two-channel mirror of _scan_core_bwd) with exact h0 AND last-state
+    cotangents — no assoc detour, closing the N1/N2 parity row
+    (selective_scan_bwd_kernel.cuh complex dispatch)."""
+    u, delta, Ar, Ai, B, C, D, z, delta_bias, statesr, statesi = res
+    g, glastr, glasti = cot
 
-    u, delta, Ar, Ai, B, C, D, z, delta_bias, h0r, h0i = res
-    g, _glast = cot
-    has = [x is not None for x in (D, z, delta_bias)]
+    batch, seqlen, dim = u.shape
+    dstate = Ar.shape[1]
+    has_d, has_z = D is not None, z is not None
+    ngroups = B.shape[2]
+    chunk = min(chunk, _round_up(seqlen, 8))
+    # two carried cotangent channels + two recomputed state trajectories
+    bt = _batch_tile(batch, chunk, LONG_BT_ELEMS_BWD // 2)
 
-    def f(u, delta, Ar, Ai, B, C, h0r, h0i, *opt):
-        it = iter(opt)
-        Dv = next(it) if has[0] else None
-        zv = next(it) if has[1] else None
-        bv = next(it) if has[2] else None
-        A = Ar + 1j * Ai
-        y = selective_scan_assoc(
-            u, delta, A, B, C, D=None, z=None, delta_bias=bv,
-            delta_softplus=softplus)
-        dtv = delta.astype(jnp.float32) + (
-            bv.astype(jnp.float32) if bv is not None else 0.0)
-        if softplus:
-            dtv = jax.nn.softplus(dtv)
-        S = jnp.cumsum(dtv, axis=1)                       # (b, l, d)
-        P = jnp.exp(S[..., None] * A[None, None])          # (b, l, d, n)
-        h0c = h0r + 1j * h0i                               # (b, d, n)
-        Cc = C[:, :, 0] if C.ndim == 4 else C
-        corr = 2.0 * jnp.real(jnp.einsum(
-            "bln,bldn,bdn->bld", Cc.astype(P.dtype), P, h0c))
-        y = y + corr.astype(y.dtype)
-        if Dv is not None:
-            y = y + u * Dv.astype(u.dtype)
-        if zv is not None:
-            zf = zv.astype(jnp.float32)
-            y = y * (zf * jax.nn.sigmoid(zf)).astype(y.dtype)
-        return y
+    up, deltap, Bp, Cp, zp, gp, bp, lp, dp = _pad_args(
+        u, delta, B, C, z, g, bt, chunk, dtile)
+    nbt, nchunks, ndt = bp // bt, lp // chunk, dp // dtile
+    Art, _, biasp = _pad_params(Ar, None, delta_bias, dim, dp)
+    Ait, Dp, _ = _pad_params(Ai, D, None, dim, dp)
+    glastrp = _pad_h0(glastr, bp, dim, dstate, dp, u.dtype)
+    glastip = _pad_h0(glasti, bp, dim, dstate, dp, u.dtype)
+    if zp is None:
+        zp = jnp.zeros((bp, 1, dp), u.dtype)
 
-    opt = tuple(x for x in (D, z, delta_bias) if x is not None)
-    _, vjp = jax.vjp(f, u, delta, Ar, Ai, B, C, h0r, h0i, *opt)
-    grads = vjp(g.astype(jnp.float32).astype(u.dtype))
-    it = iter(grads[8:])
-    dD = next(it) if has[0] else None
-    dz = next(it) if has[1] else None
-    dbias = next(it) if has[2] else None
-    return grads[:6] + (dD, dz, dbias, grads[6], grads[7])
+    def fit_bp(s):
+        if s.shape[0] > bp:
+            return s[:bp]
+        if s.shape[0] < bp:
+            return jnp.pad(s, ((0, bp - s.shape[0]),) +
+                           ((0, 0),) * (s.ndim - 1))
+        return s
+
+    statesr, statesi = fit_bp(statesr), fit_bp(statesi)
+
+    ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec = _specs(
+        bt, chunk, dtile, dstate, nchunks, has_z, reverse=True,
+        ngroups=ngroups, ndt=ndt,
+    )
+    acc_nd = pl.BlockSpec((1, dstate, dtile), lambda bi, di, li: (bi, 0, di),
+                          memory_space=pltpu.VMEM)
+    acc_vec = pl.BlockSpec((1, 1, dtile), lambda bi, di, li: (bi, 0, di),
+                           memory_space=pltpu.VMEM)
+    bc_spec = pl.BlockSpec(
+        (1, bt, chunk, dstate),
+        lambda bi, di, li: (di, bi, nchunks - 1 - li, 0),
+        memory_space=pltpu.VMEM,
+    )
+    glast_spec = pl.BlockSpec((bt, dstate, dtile),
+                              lambda bi, di, li: (bi, 0, di),
+                              memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _cbwd_kernel, softplus=softplus, has_d=has_d, has_z=has_z,
+        nchunks=nchunks, chunk=chunk, seqlen=seqlen,
+    )
+    (du, ddelta, dAr_bt, dAi_bt, dB, dC, dD_b, dz, dbias_b,
+     dh0r, dh0i) = pl.pallas_call(
+        kernel,
+        grid=(nbt, ndt, nchunks),
+        in_specs=[ld_spec, ld_spec, a_spec, a_spec, ln_spec, ln_spec,
+                  vec_spec, z_spec, vec_spec, states_spec, states_spec,
+                  ld_spec, glast_spec, glast_spec],
+        out_specs=[ld_spec, ld_spec, acc_nd, acc_nd, bc_spec, bc_spec,
+                   acc_vec, ld_spec, acc_vec, glast_spec, glast_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, lp, dp), u.dtype),           # du
+            jax.ShapeDtypeStruct((bp, lp, dp), delta.dtype),       # ddelta
+            jax.ShapeDtypeStruct((nbt, dstate, dp), jnp.float32),  # dAr parts
+            jax.ShapeDtypeStruct((nbt, dstate, dp), jnp.float32),  # dAi parts
+            jax.ShapeDtypeStruct((ndt, bp, lp, dstate), jnp.float32),  # dB
+            jax.ShapeDtypeStruct((ndt, bp, lp, dstate), jnp.float32),  # dC
+            jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dD parts
+            jax.ShapeDtypeStruct((bp, lp, dp),
+                                 z.dtype if has_z else jnp.float32),  # dz
+            jax.ShapeDtypeStruct((nbt, 1, dp), jnp.float32),       # dbias
+            jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),   # dh0r
+            jax.ShapeDtypeStruct((bp, dstate, dp), jnp.float32),   # dh0i
+        ],
+        scratch_shapes=[pltpu.VMEM((bt, dstate, dtile), jnp.float32),
+                        pltpu.VMEM((bt, dstate, dtile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
+        interpret=interpret,
+    )(up, deltap, Art, Ait, Bp, Cp, Dp, zp, biasp, statesr, statesi,
+      gp, glastrp, glastip)
+
+    du = du[:batch, :seqlen, :dim].astype(u.dtype)
+    ddelta = ddelta[:batch, :seqlen, :dim].astype(delta.dtype)
+    dAr = jnp.sum(dAr_bt, axis=0)[:, :dim].T.astype(Ar.dtype)
+    dAi = jnp.sum(dAi_bt, axis=0)[:, :dim].T.astype(Ai.dtype)
+    tiles_per_group = max(ndt // ngroups, 1)
+    dB = dB.reshape(ngroups, tiles_per_group, bp, lp, dstate).sum(1)
+    dC = dC.reshape(ngroups, tiles_per_group, bp, lp, dstate).sum(1)
+    dB = dB.transpose(1, 2, 0, 3)[:batch, :seqlen].astype(B.dtype)
+    dC = dC.transpose(1, 2, 0, 3)[:batch, :seqlen].astype(C.dtype)
+    dD = jnp.sum(dD_b, axis=(0, 1))[:dim].astype(D.dtype) if has_d else None
+    dz = dz[:batch, :seqlen, :dim].astype(z.dtype) if has_z else None
+    dbias = (
+        jnp.sum(dbias_b, axis=(0, 1))[:dim].astype(delta_bias.dtype)
+        if delta_bias is not None else None
+    )
+    dh0r = jnp.swapaxes(dh0r, 1, 2)[:batch, :dim]
+    dh0i = jnp.swapaxes(dh0i, 1, 2)[:batch, :dim]
+    return (du, ddelta, dAr, dAi, dB, dC, dD, dz, dbias, dh0r, dh0i)
 
 
 _complex_core.defvjp(_complex_core_fwd, _complex_core_bwd)
@@ -1687,12 +1912,16 @@ def _selective_scan_pallas_complex(u, delta, A, B, C, D, z, delta_bias,
     else:  # concrete zeros: custom_vjp diff args cannot be None
         shape = (u.shape[0], u.shape[2], A.shape[1])
         h0r = h0i = jnp.zeros(shape, jnp.float32)
-    out, last = _complex_core(
+    out, lastr, lasti = _complex_core(
         u, delta, A.real.astype(jnp.float32), A.imag.astype(jnp.float32),
         B, C, D, z, delta_bias, h0r, h0i,
         delta_softplus, chunk, dtile, interpret)
     if return_last_state:
-        return out, lax.stop_gradient(last)
+        # complex assembled OUTSIDE the custom_vjp so the last-state
+        # cotangent flows into the kernel adjoint as two real channels
+        # (the reference SelectiveScanFn drops this grad; the ring needs it)
+        last = (lastr + 1j * lasti).astype(jnp.complex64)
+        return out, last
     return out
 
 
