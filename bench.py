@@ -201,6 +201,41 @@ def bench_train_step(batch: int = 8, frames: int = 16, size: int = 224,
     )
 
 
+def bench_decode(batch: int = 8, promptlen: int = 16, genlen: int = 128,
+                 d_model: int = 768, n_layer: int = 12,
+                 vocab: int = 50277, repeats: int = 3):
+    """Mamba LM decode throughput (stderr tracking, VERDICT r3 next-#7):
+    the jitted lax.scan decode loop with cached (conv, ssm) states —
+    the benchmark_generation_mamba_simple.py capability on TPU. Tracked
+    round-over-round alongside the vision metrics."""
+    from video_mamba_suite_tpu.models import MambaLMHeadModel
+    from video_mamba_suite_tpu.models.generation import (
+        GenerationConfig,
+        generate,
+    )
+
+    model = MambaLMHeadModel(d_model=d_model, n_layer=n_layer,
+                             vocab_size=vocab)
+    ids = jax.random.randint(
+        jax.random.PRNGKey(0), (batch, promptlen), 0, vocab)
+    params = model.init(jax.random.PRNGKey(1), ids)
+    cfg = GenerationConfig(max_length=promptlen + genlen, top_k=1)
+    gen = jax.jit(lambda p, i: generate(model, p, i, cfg))
+    _fetch(gen(params, ids))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = gen(params, ids)
+    _fetch(out)
+    dt = (time.perf_counter() - t0) / repeats
+    toks = batch * (promptlen + genlen)
+    print(
+        f"[bench] Mamba-{d_model} LM decode (b{batch} prompt{promptlen}"
+        f"+gen{genlen}, greedy): {toks / dt:.0f} tok/s, "
+        f"{dt / (promptlen + genlen) * 1e3:.2f} ms/step",
+        file=sys.stderr,
+    )
+
+
 def main():
     if jax.default_backend() != "tpu":
         # CPU fallback: tiny shapes so the line still prints
@@ -289,6 +324,7 @@ def main():
             time.sleep(30 * (attempt + 1))
     clips_assoc = _safe("assoc comparison", bench_timemamba, "assoc")
     _safe("train step", bench_train_step)
+    _safe("decode", bench_decode)
 
     def _tal():
         from benchmarks.bench_training import bench_tal_train
