@@ -152,3 +152,50 @@ def test_vivim_scan_blocks():
     mixers = params["params"]["blocks"]["mixer"]
     leaf = jax.tree_util.tree_leaves(mixers)[0]
     assert leaf.shape[0] == 4
+
+
+def test_patchify_conv_matches_nn_conv():
+    """PatchifyConv (im2col matmul lowering) is bit-compatible with the
+    stride-p VALID nn.Conv it replaced: same param tree, same values,
+    same gradients (benchmarks/r7_patch_embed.py measured the conv
+    lowering's filter-grad pass 67x slower on TPU)."""
+    from flax import linen as nn
+
+    from video_mamba_suite_tpu.models.common import PatchifyConv
+
+    p, D = 8, 12
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 19, 24, 3))  # 19: VALID tail-crop
+    conv = nn.Conv(D, (p, p), strides=(p, p), padding="VALID", name="pe")
+    mm = PatchifyConv(D, patch_size=p, name="pe")
+    params = conv.init(jax.random.PRNGKey(1), x)
+    # identical parameter tree (checkpoint compatibility)
+    assert jax.tree_util.tree_structure(
+        mm.init(jax.random.PRNGKey(1), x)) == \
+        jax.tree_util.tree_structure(params)
+
+    a = conv.apply(params, x)
+    b = mm.apply(params, x)
+    assert a.shape == b.shape == (2, 2, 3, D)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+    g = jax.random.normal(jax.random.PRNGKey(2), a.shape)
+    ga = jax.grad(lambda pr, xx: jnp.sum(conv.apply(pr, xx) * g),
+                  argnums=(0, 1))(params, x)
+    gb = jax.grad(lambda pr, xx: jnp.sum(mm.apply(pr, xx) * g),
+                  argnums=(0, 1))(params, x)
+    for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-4, atol=1e-5)
+
+    # bf16 compute-dtype mode (the TimeMamba site)
+    a16 = nn.Conv(D, (p, p), strides=(p, p), padding="VALID",
+                  dtype=jnp.bfloat16, name="pe").apply(
+                      params, x.astype(jnp.bfloat16))
+    b16 = PatchifyConv(D, patch_size=p, dtype=jnp.bfloat16, name="pe").apply(
+        params, x.astype(jnp.bfloat16))
+    assert b16.dtype == a16.dtype
+    np.testing.assert_allclose(np.asarray(a16, np.float32),
+                               np.asarray(b16, np.float32),
+                               rtol=3e-2, atol=3e-2)

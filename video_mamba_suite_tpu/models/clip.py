@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import FusedMHA
+from .common import FusedMHA, PatchifyConv
 from .timemamba import Mlp, TimeMamba
 from .vivim import ViViM
 
@@ -112,8 +112,8 @@ class ClipImageTower(nn.Module):
         """x (B, H, W, 3) → (B, output_dim)."""
         B = x.shape[0]
         p = self.patch_size
-        feat = nn.Conv(self.width, (p, p), strides=(p, p), padding="VALID",
-                       use_bias=False, name="conv1")(x)
+        feat = PatchifyConv(self.width, patch_size=p,
+                            use_bias=False, name="conv1")(x)
         feat = feat.reshape(B, -1, self.width)
         cls = self.param("class_embedding",
                          nn.initializers.normal(self.width ** -0.5),

@@ -58,6 +58,51 @@ def make_dense(features: int, *, quant: bool = False, **kw):
     return (QuantDense if quant else nn.Dense)(features, **kw)
 
 
+class PatchifyConv(nn.Module):
+    """Stride-p VALID patch-embed conv, computed as im2col + matmul.
+
+    Bit-identical math and an IDENTICAL parameter tree to
+    ``nn.Conv(features, (p, p), strides=(p, p), padding="VALID")`` —
+    'kernel' (p, p, C, D) and optional 'bias' (D,) — so checkpoints and
+    the torch weight porting are unchanged. The lowering differs: XLA's
+    convolution with a 3-channel input pads the channel dim onto MXU
+    lanes and its filter-gradient pass runs ~1 TF/s, while the same math
+    as a (BT·n, p²C) × (p²C, D) matmul runs its fwd+bwd at MXU speed —
+    77.4 → 1.16 ms at TimeMamba-B train scale (128×224², bf16;
+    benchmarks/r7_patch_embed.py). Reference op:
+    avion/models/timemamba.py:203 (PatchEmbed), vimamba.py PatchEmbed.
+    """
+
+    features: int
+    patch_size: int
+    use_bias: bool = True
+    dtype: Any = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        """x (B, H, W, C) → (B, H//p, W//p, D), VALID tail-crop like conv."""
+        B, H, W, C = x.shape
+        p = self.patch_size
+        D = self.features
+        kernel = self.param("kernel", self.kernel_init, (p, p, C, D),
+                            jnp.float32)
+        hh, ww = H // p, W // p
+        x = x[:, : hh * p, : ww * p]
+        # flax dtype semantics: dtype=None promotes (bf16 x, fp32 kernel)
+        # to fp32; an explicit dtype casts both down
+        compute = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(compute)
+        cols = x.reshape(B, hh, p, ww, p, C).transpose(0, 1, 3, 2, 4, 5)
+        cols = cols.reshape(B, hh * ww, p * p * C)
+        out = cols @ kernel.astype(compute).reshape(p * p * C, D)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (D,), jnp.float32)
+            out = out + bias.astype(out.dtype)
+        return out.reshape(B, hh, ww, D)
+
+
 # ---------------------------------------------------------------------------
 # regularization
 
@@ -264,6 +309,54 @@ def _flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(B, L, H * dh)
 
 
+class _HeadMajorQKV(nn.Module):
+    """Fused qkv projection emitting the HEAD-MAJOR (B, T, 3H, S, dh) layout
+    the row_mha_qkv kernel consumes. Declares the SAME ('kernel' (D, 3D),
+    'bias' (3D,)) params as the nn.Dense it substitutes — checkpoints and
+    weight porting unchanged; only the contraction layout differs (the
+    transpose rides XLA's dot layout assignment instead of a copy)."""
+
+    dim: int
+    heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        D, H = self.dim, self.heads
+        dh = D // H
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (D, 3 * D), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (3 * D,),
+                          jnp.float32)
+        compute = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        w3 = kernel.reshape(D, 3 * H, dh).astype(compute)
+        b3 = bias.reshape(3 * H, dh).astype(compute)
+        return (jnp.einsum("bntd,dhe->bthne", x.astype(compute), w3)
+                + b3[None, None, :, None])
+
+
+class _HeadMajorOut(nn.Module):
+    """Output projection consuming the row kernel's (B, T, H, S, dh) and
+    producing patch-major (B, S, T, D). Same ('kernel' (D, D), 'bias')
+    params as the nn.Dense it substitutes."""
+
+    dim: int
+    heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, out5):
+        D, H = self.dim, self.heads
+        dh = D // H
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (D, D), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (D,), jnp.float32)
+        compute = self.dtype or jnp.promote_types(out5.dtype, kernel.dtype)
+        wo = kernel.reshape(H, dh, D).astype(compute)
+        return (jnp.einsum("bthne,hef->bntf", out5.astype(compute), wo)
+                + bias.astype(compute))
+
+
 class FusedMHA(nn.Module):
     """Multi-head self-attention with a FUSED qkv projection.
 
@@ -291,6 +384,17 @@ class FusedMHA(nn.Module):
                                   # 1.23 ms at I128/h12/N197/dh64; XLA's
                                   # pipelined fusion wins), kept as an option
                                   # for its fp32-softmax numerics.
+                                  # "row": head-major packed-qkv whole-row
+                                  # kernel on the seq_axis=1 4-D path
+                                  # (row_mha_qkv). Wins 1.13x on the ISOLATED
+                                  # 12-layer sandwich (benchmarks/r8_attn.py)
+                                  # but is NEUTRAL inside the full TimeMamba-B
+                                  # forward and SLOWER in training (346→394 ms
+                                  # — the custom_vjp blocks remat fusion;
+                                  # benchmarks/r9_integration.py), so the
+                                  # default stays the einsum path; kept for
+                                  # its fp32-softmax numerics and as the
+                                  # standalone-attention fast path.
     quant: bool = False           # w8a8 serving mode for qkv/out projections
     seq_axis: int = -2            # 1 on a 4-D (B, S, T, D) input: attention
                                   # over S batched over (B, T) WITHOUT
@@ -306,12 +410,30 @@ class FusedMHA(nn.Module):
         D = x.shape[-1]
         H = self.num_heads
         dh = D // H
+        if (self.flash == "row" and self.seq_axis == 1 and x.ndim == 4
+                and not (self.causal or self.quant)
+                and x.shape[1] <= 512):
+            # head-major packed-qkv whole-row kernel (r8 winner, 1.13x over
+            # the einsum path at the TimeMamba shape): the projection emits
+            # (B, T, 3H, N, dh) directly — the layout change rides the dot —
+            # and the kernel keeps every (N, N) fp32 score row in VMEM.
+            # Param tree is IDENTICAL to the einsum path (same 'qkv'/'out'
+            # Dense kernels, reshaped at apply time).
+            from ..ops.vision_attention import row_mha_qkv
+
+            B_, S, T_ = x.shape[:3]
+            hm = _HeadMajorQKV(dim=D, heads=H, dtype=self.dtype, name="qkv")
+            qkv5 = hm(x)                           # (B, T, 3H, S, dh)
+            out5 = row_mha_qkv(
+                qkv5, interpret=jax.default_backend() != "tpu")
+            return _HeadMajorOut(dim=D, heads=H, dtype=self.dtype,
+                                 name="out")(out5)
         qkv = make_dense(3 * D, quant=self.quant, dtype=self.dtype,
                          kernel_init=nn.initializers.xavier_uniform(),
                          name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.seq_axis == 1 and x.ndim == 4:
-            if self.causal or self.flash:
+            if self.causal or (self.flash and self.flash != "row"):
                 raise ValueError("seq_axis=1 supports plain bidirectional "
                                  "attention only")
             B_, S, T_ = x.shape[:3]

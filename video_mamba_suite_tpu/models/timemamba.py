@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import FusedMHA, make_dense
+from .common import FusedMHA, PatchifyConv, make_dense
 from .mamba import MambaVim
 
 
@@ -75,6 +75,12 @@ class SpaceTimeBlock(nn.Module):
                          # frozen-joint — the Mamba scans the JOINT (n·t)
                          # sequence instead of per-patch time
     impl: str = "auto"
+    attn_flash: Any = None  # spatial-attention kernel: None = XLA einsum
+                         # (the measured-best default in context); "row" =
+                         # head-major packed-qkv whole-row Pallas kernel
+                         # (ops/vision_attention.row_mha_qkv — 1.13x on the
+                         # isolated sandwich but neutral in the full fwd and
+                         # slower in training; benchmarks/r{8,9}_*.py)
     dtype: Any = None
     quant: Any = False   # w8a8 serving mode: True = all block projections,
                          # "mlp" = MLP fc1/fc2 only (the only site where
@@ -126,6 +132,7 @@ class SpaceTimeBlock(nn.Module):
         xs_n = nn.LayerNorm(dtype=self.dtype, name="norm1")(xs)
         space_out = FusedMHA(num_heads=self.num_heads, dtype=self.dtype,
                              quant=self.quant is True, seq_axis=1,
+                             flash=self.attn_flash,
                              name="attn")(xs_n, deterministic=deterministic)
         cls_out = space_out[:, 0].mean(axis=1, keepdims=True)   # (B, 1, D)
         patch_out = space_out[:, 1:]                     # (B, n, t, D)
@@ -175,6 +182,7 @@ class _BlockScanBody(nn.Module):
     attention_style: str
     impl: str
     deterministic: bool
+    attn_flash: Any = None
     dtype: Any = None
     quant: Any = False
     ring_mesh: Any = None
@@ -193,6 +201,7 @@ class _BlockScanBody(nn.Module):
                 drop=self.drop, drop_path=self.drop_path,
                 is_tanh_gating=self.is_tanh_gating,
                 attention_style=self.attention_style, impl=self.impl,
+                attn_flash=self.attn_flash,
                 dtype=self.dtype, quant=self.quant,
                 ring_mesh=self.ring_mesh, ring_axes=self.ring_axes,
                 name=f"block{gi}" if self.group > 1
@@ -227,6 +236,9 @@ class TimeMamba(nn.Module):
                                     # trades HBM for a much cheaper recompute)
     dtype: Any = None               # compute dtype (e.g. jnp.bfloat16)
     impl: str = "auto"
+    attn_flash: Any = None          # spatial-attention kernel ("row" =
+                                    # head-major whole-row Pallas kernel;
+                                    # see SpaceTimeBlock.attn_flash)
     quant: Any = False              # w8a8 int8 serving mode, inference-only;
                                     # params & checkpoints unchanged.
                                     # True: all block projections (qkv/out,
@@ -260,8 +272,8 @@ class TimeMamba(nn.Module):
 
         ba, sa = tuple(self.ring_axes)
         xf = _constrain(x.reshape(B * T, H, W, C), (ba, sa))
-        feat = nn.Conv(
-            self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+        feat = PatchifyConv(
+            self.embed_dim, patch_size=p,
             use_bias=not self.ln_pre, dtype=self.dtype, name="patch_embed",
         )(xf)
         BT, hh, ww, D = feat.shape
@@ -340,6 +352,7 @@ class TimeMamba(nn.Module):
                 is_tanh_gating=self.is_tanh_gating,
                 attention_style=self.attention_style, impl=self.impl,
                 deterministic=deterministic, group=self.scan_group,
+                attn_flash=self.attn_flash,
                 dtype=self.dtype, quant=self.quant,
                 ring_mesh=self.ring_mesh, ring_axes=self.ring_axes,
                 name="blocks",
@@ -354,6 +367,7 @@ class TimeMamba(nn.Module):
                     drop=self.drop_rate, drop_path=dpr[i],
                     is_tanh_gating=self.is_tanh_gating,
                     attention_style=self.attention_style, impl=self.impl,
+                    attn_flash=self.attn_flash,
                     dtype=self.dtype, quant=self.quant,
                     ring_mesh=self.ring_mesh, ring_axes=self.ring_axes,
                     name=f"block{i}",

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import fused_add_norm
-from .common import DropPath
+from .common import DropPath, PatchifyConv
 from .mamba import MambaVim, MambaScanNorm
 
 
@@ -73,10 +73,8 @@ class PatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        p = self.patch_size
-        x = nn.Conv(
-            self.embed_dim, (p, p), strides=(p, p), padding="VALID",
-            name="proj",
+        x = PatchifyConv(
+            self.embed_dim, patch_size=self.patch_size, name="proj",
         )(x)
         B, H, W, D = x.shape
         return x.reshape(B, H * W, D)
