@@ -155,3 +155,106 @@ def vision_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(dh)
     return _mha(q, k, v, float(sm_scale), interpret)
+
+
+# ---------------------------------------------------------------------------
+# Head-major packed-qkv whole-row kernel (benchmarks/r8_attn.py winner).
+#
+# The flattened-layout kernel above still LOSES to XLA's einsum fusion at the
+# TimeMamba shape (1.37 vs 1.23 ms/layer) because both pay layout taxes: the
+# (B, 1+n, t, D) producer must be transposed/flattened into per-head slabs.
+# This variant removes every tax at once: the qkv projection itself emits a
+# HEAD-MAJOR (B, T, 3H, N, dh) tensor (the layout change rides the projection
+# dot — XLA dot layout assignment), the kernel reads that ONE array through
+# three BlockSpecs (q/k/v block-index offsets into the 3H dim — no jnp.split
+# HBM round-trip), and per (b, t) all H heads' fp32 score rows live and die
+# in VMEM. Chip A/B at (B8, T16, H12, N197, dh64) over the 12-layer sandwich:
+# einsum 2.055 → kernel 1.825 ms/layer (1.13x).
+
+
+def _row_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
+                    sm_scale: float):
+    for h in range(heads):
+        q = q_ref[h]                                   # (N, dh)
+        s = jax.lax.dot_general(
+            q, k_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                   # (N, N) fp32, VMEM
+        s = s - jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s)
+        w = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v_ref.dtype)
+        o_ref[h] = jnp.dot(w, v_ref[h],
+                           preferred_element_type=jnp.float32
+                           ).astype(o_ref.dtype)
+
+
+def _row_mha_fwd_impl(qkv5, sm_scale: float, interpret: bool):
+    b, t, h3, n, dh = qkv5.shape
+    h = h3 // 3
+    spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (None, None, h, n, dh),
+        lambda bi, ti, o=off: (bi, ti, o, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_row_mha_kernel, heads=h, sm_scale=sm_scale),
+        grid=(b, t),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((None, None, h, n, dh),
+                               lambda bi, ti: (bi, ti, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, h, n, dh), qkv5.dtype),
+        interpret=interpret,
+    )(qkv5, qkv5, qkv5)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _row_mha(qkv5, sm_scale: float, interpret: bool):
+    return _row_mha_fwd_impl(qkv5, sm_scale, interpret)
+
+
+def _row_mha_fwd(qkv5, sm_scale, interpret):
+    return _row_mha_fwd_impl(qkv5, sm_scale, interpret), (qkv5,)
+
+
+def _row_mha_bwd(sm_scale, interpret, res, g):
+    # einsum-form gradients with fp32-softmax score recompute, batched over
+    # (b, t); the cotangent repacks into the head-major 3H layout so the
+    # projection-dot layout assignment applies to the bwd matmuls too
+    (qkv5,) = res
+    h = qkv5.shape[2] // 3
+    q, k, v = qkv5[:, :, :h], qkv5[:, :, h:2 * h], qkv5[:, :, 2 * h:]
+    s = jnp.einsum("bthqd,bthkd->bthqk", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    w = jax.nn.softmax(s, axis=-1)
+    wg = w.astype(g.dtype)
+    dv = jnp.einsum("bthqk,bthqd->bthkd", wg, g)
+    dp = jnp.einsum("bthqd,bthkd->bthqk", g, v,
+                    preferred_element_type=jnp.float32)
+    ds = w * (dp - jnp.sum(dp * w, axis=-1, keepdims=True))
+    ds = (ds * sm_scale).astype(q.dtype)
+    dq = jnp.einsum("bthqk,bthkd->bthqd", ds, k)
+    dk = jnp.einsum("bthqk,bthqd->bthkd", ds, q)
+    return (jnp.concatenate([dq, dk, dv], axis=2),)
+
+
+_row_mha.defvjp(_row_mha_fwd, _row_mha_bwd)
+
+
+def row_mha_qkv(qkv5: jax.Array, sm_scale: float | None = None,
+                interpret: bool = False) -> jax.Array:
+    """Head-major packed-qkv whole-row MHA.
+
+    qkv5 (B, T, 3H, N, dh) with q heads at [:H], k at [H:2H], v at [2H:]
+    (i.e. the fused (D, 3D) qkv kernel reshaped to (D, 3H, dh)) →
+    (B, T, H, N, dh). Requires N ≤ MAX_ROW_TOKENS.
+    """
+    b, t, h3, n, dh = qkv5.shape
+    if h3 % 3:
+        raise ValueError(f"row_mha_qkv: 3H dim {h3} not divisible by 3")
+    if n > MAX_ROW_TOKENS:
+        raise ValueError(f"row_mha_qkv: N={n} exceeds whole-row limit "
+                         f"{MAX_ROW_TOKENS}")
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(dh)
+    return _row_mha(qkv5, float(sm_scale), interpret)
