@@ -698,8 +698,10 @@ def _run_ego_mir(cfg, epochs, synthetic, ckpt=None):
         for i in range(4)
     ])
     texts = np.stack([np.full((8,), i + 1, np.int64) for i in range(4)])
-    for _ in range(epochs * 10):
+    for step in range(epochs * 10):
         loss = ft.train_step(videos, texts)
+        if step == 0 or (step + 1) % 50 == 0:
+            print(f"step {step}: loss {loss:.4f}", flush=True)
     res = ft.evaluate(videos, texts, np.eye(4, dtype=np.float32),
                       batch_size=4)
     print(f"loss {loss:.4f}, avg_map {res['avg_map']:.2f}, "
