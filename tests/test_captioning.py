@@ -225,3 +225,35 @@ def test_caption_decoder_type_none_proposal_only():
     assert "caption_head" not in str(jax.tree_util.tree_structure(tr.params))
     events = tr.predict(feats, mask, duration=float(T), topk=2)
     assert events[0][0]["sentence"] == ""
+
+
+def test_two_phase_matching_equals_callback_path():
+    """The no-host-callback fallback (jitted cost fwd → host LSA → jitted
+    prematched grad step, used on the axon TPU runtime which rejects
+    pure_callback) must be bit-identical to the single-dispatch callback
+    path: the same rng drives both forwards, so dropout masks — and hence
+    the matching and the gradients — coincide exactly."""
+    rng = np.random.default_rng(0)
+    B, T, C = 2, 32, 8
+    model = PDVC(input_dim=C, num_classes=1, vocab_size=12, num_queries=6,
+                 d_model=32, n_levels=2, num_encoder_layers=1,
+                 num_decoder_layers=2, max_caption_len=5, impl="assoc")
+    feats = rng.standard_normal((B, T, C)).astype(np.float32)
+    mask = np.ones((B, T), np.float32)
+    gt_boxes = np.tile(np.array([[0.3, 0.2], [0.7, 0.1]], np.float32),
+                       (B, 1, 1))
+    gt_labels = np.zeros((B, 2), np.int32)
+    gt_valid = np.ones((B, 2), bool)
+    caps = np.array([[[0, 3, 4, 5, 0], [0, 6, 7, 8, 0]]] * B, np.int64)
+
+    tr_cb = CaptioningTrainer(model, seed=7)
+    tr_2p = CaptioningTrainer(model, seed=7)
+    tr_2p._use_callback = False
+    for _ in range(3):
+        l_cb = tr_cb.train_step(feats, mask, gt_boxes, gt_labels, gt_valid,
+                                caps)
+        l_2p = tr_2p.train_step(feats, mask, gt_boxes, gt_labels, gt_valid,
+                                caps)
+        assert l_cb.keys() == l_2p.keys()
+        for key in l_cb:
+            assert l_cb[key] == l_2p[key], (key, l_cb[key], l_2p[key])

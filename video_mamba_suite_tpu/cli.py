@@ -490,6 +490,8 @@ def run_captioning(cfg, epochs, synthetic, ckpt=None):
     for ep in range(epochs * 10):
         losses = tr.train_step(feats, mask, gt_boxes, gt_labels, gt_valid,
                                captions)
+        if ep % 50 == 0:
+            print(f"step {ep}: {losses}", flush=True)
     print("losses:", losses)
     events = tr.predict(feats, mask, duration=float(T), topk=3)
     print("eval:", evaluate_dvc({f"v{b}": events[b] for b in range(B)}, gt_json))
@@ -551,6 +553,8 @@ def run_anticipation(cfg, epochs, synthetic, ckpt=None):
     tr = AnticipationTrainer(model, lr=2e-3)
     for ep in range(epochs * 5):
         loss = tr.train_step(visual, motion, labels.astype(np.int32))
+        if ep % 25 == 0:
+            print(f"step {ep}: loss {float(loss):.4f}", flush=True)
     print("loss:", loss, "eval:", tr.evaluate(visual, motion, labels))
 
 

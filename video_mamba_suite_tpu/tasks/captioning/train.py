@@ -4,7 +4,12 @@ Reference flow: /root/reference/video-mamba-suite/video-dense-captioning/
 train.py:35-120 (DDP Adam, grad clip) + pdvc.py forward/criterion. The
 matcher runs on host inside the jitted step via jax.pure_callback
 (SURVEY.md §7 hard part e: host matching without serializing the step into
-multiple dispatches).
+multiple dispatches). On runtimes without host send/recv support (the
+tunneled `axon` TPU plugin raises UNIMPLEMENTED for every callback),
+train_step transparently switches to a two-phase path — jitted cost
+forward → host linear_sum_assignment → jitted prematched grad step — that
+is bit-identical to the callback path (same rng ⇒ same dropout masks in
+both forwards; tests/test_captioning.py pins the equivalence).
 """
 
 from __future__ import annotations
@@ -40,22 +45,32 @@ class CaptioningTrainer:
 
         model_, tx = self.model, self.tx
 
-        @jax.jit
-        def step(params, opt_state, rng, feats, mask,
-                 gt_boxes, gt_labels, gt_valid, captions):
+        def make_loss_fn(rng, feats, mask, gt_boxes, gt_labels, gt_valid,
+                         captions, prematched_idx=None):
+            """prematched_idx=None → Hungarian host callback inside the jit
+            (one dispatch/step). The tunneled `axon` TPU runtime rejects ALL
+            host send/recv callbacks (UNIMPLEMENTED), so train_step falls
+            back to a two-phase path there: a jitted cost pass, host
+            linear_sum_assignment, then this loss with the indices passed in
+            as a regular array. Same rng → identical dropout masks in both
+            passes, so the matching is computed from the SAME forward the
+            gradient sees (the reference's semantics, pdvc.py criterion)."""
             def loss_fn(p):
                 out = model_.apply(
                     p, feats, mask, deterministic=False,
                     rngs={"dropout": rng},
                 )
-                cost = jax.vmap(match_cost)(
-                    out["pred_logits"], out["pred_boxes"],
-                    gt_labels, gt_boxes, gt_valid,
-                )
-                n_valid = jnp.sum(gt_valid, axis=1)
-                match_idx = hungarian_match(
-                    jax.lax.stop_gradient(cost), n_valid
-                )
+                if prematched_idx is None:
+                    cost = jax.vmap(match_cost)(
+                        out["pred_logits"], out["pred_boxes"],
+                        gt_labels, gt_boxes, gt_valid,
+                    )
+                    n_valid = jnp.sum(gt_valid, axis=1)
+                    match_idx = hungarian_match(
+                        jax.lax.stop_gradient(cost), n_valid
+                    )
+                else:
+                    match_idx = prematched_idx
                 # gather matched query features → caption logits
                 safe_idx = jnp.clip(match_idx, 0, out["query_feats"].shape[1] - 1)
                 qf = jax.vmap(lambda h, i: h[i])(out["query_feats"], safe_idx)
@@ -86,9 +101,44 @@ class CaptioningTrainer:
                 )
                 return losses["loss_total"], losses
 
+            return loss_fn
+
+        def apply_grads(loss_fn, params, opt_state):
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, losses
+
+        @jax.jit
+        def step(params, opt_state, rng, feats, mask,
+                 gt_boxes, gt_labels, gt_valid, captions):
+            return apply_grads(
+                make_loss_fn(rng, feats, mask, gt_boxes, gt_labels,
+                             gt_valid, captions),
+                params, opt_state)
+
+        @jax.jit
+        def cost_fwd(params, rng, feats, mask, gt_boxes, gt_labels, gt_valid):
+            # phase 1 of the no-callback path: same forward (same rng ⇒
+            # same dropout masks) → matching cost only
+            out = model_.apply(params, feats, mask, deterministic=False,
+                               rngs={"dropout": rng})
+            return jax.vmap(match_cost)(
+                out["pred_logits"], out["pred_boxes"],
+                gt_labels, gt_boxes, gt_valid,
+            )
+
+        @jax.jit
+        def step_prematched(params, opt_state, rng, feats, mask,
+                            gt_boxes, gt_labels, gt_valid, captions,
+                            match_idx):
+            return apply_grads(
+                make_loss_fn(rng, feats, mask, gt_boxes, gt_labels,
+                             gt_valid, captions, prematched_idx=match_idx),
+                params, opt_state)
+
+        self._cost_fwd = cost_fwd
+        self._step_prematched = step_prematched
+        self._use_callback = None  # probed on first train_step
 
         @jax.jit
         def fwd(params, feats, mask):
@@ -148,11 +198,42 @@ class CaptioningTrainer:
         if self.params is None:
             self.init(feats, mask)
         self.rng, k = jax.random.split(self.rng)
+        n_valid_host = np.asarray(gt_valid).sum(axis=1).astype(np.int32)
         feats, mask, gt_boxes, gt_labels, gt_valid, captions = self.core.shard(
             (feats, mask, gt_boxes, gt_labels, gt_valid, captions))
-        self.params, self.opt_state, losses = self._step(
+        if self._use_callback is None:
+            # cheap probe: avoids compiling the full callback step on
+            # runtimes that reject host callbacks at dispatch (axon TPU)
+            try:
+                jax.jit(lambda x: jax.pure_callback(
+                    lambda a: a, jax.ShapeDtypeStruct((), jnp.float32), x,
+                ))(jnp.float32(0)).block_until_ready()
+                self._use_callback = True
+            except Exception:  # noqa: BLE001 — UNIMPLEMENTED JaxRuntimeError
+                self._use_callback = False
+        if self._use_callback:
+            try:
+                self.params, self.opt_state, losses = self._step(
+                    self.params, self.opt_state, k, feats, mask,
+                    gt_boxes, gt_labels, gt_valid, captions,
+                )
+                return {k_: float(v) for k_, v in
+                        jax.device_get(losses).items()}
+            except jax.errors.JaxRuntimeError as e:
+                if "callback" not in str(e):
+                    raise
+                # axon TPU runtime: no host send/recv callbacks — switch to
+                # the two-phase path (cost pass → host LSA → grad pass)
+                self._use_callback = False
+        from .matcher import _host_lsa
+
+        cost = self._cost_fwd(self.params, k, feats, mask,
+                              gt_boxes, gt_labels, gt_valid)
+        match_idx = _host_lsa(np.asarray(jax.device_get(cost)), n_valid_host)
+        (match_idx,) = self.core.shard((match_idx,))
+        self.params, self.opt_state, losses = self._step_prematched(
             self.params, self.opt_state, k, feats, mask,
-            gt_boxes, gt_labels, gt_valid, captions,
+            gt_boxes, gt_labels, gt_valid, captions, match_idx,
         )
         # ONE device_get for the whole dict: per-leaf float() costs a
         # device round-trip each (tens of ms over the tunneled chip)
