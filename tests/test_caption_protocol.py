@@ -199,10 +199,78 @@ def test_meteor_corpus_aggregates_statistics_not_scores():
     p, r = m / lh, m / lr
     f = p * r / (0.9 * p + 0.1 * r)
     golden = f * (1 - 0.5 * (ch / m) ** 3)
-    score, seg = meteor_corpus(gts, res)
+    score, seg = meteor_corpus(gts, res, version="1.0")
     assert score == pytest.approx(golden, abs=1e-12)
     # ≠ the mean of segment scores (which would be ~0.496)
     assert score != pytest.approx((seg[0] + seg[1]) / 2, abs=1e-3)
+
+
+def test_meteor15_pair_golden_hand_derived():
+    """METEOR-1.5 English semantics (Meteor Universal eqns, α=.85 β=.2
+    γ=.6 δ=.75; stage weights exact 1.0 / stem 0.6; content/function
+    weighting) on hand-worked examples."""
+    from video_mamba_suite_tpu.tasks.captioning.meteor import (
+        FUNCTION_WORDS,
+        meteor15_pair,
+        meteor15_stats,
+    )
+
+    # identical sentences, all content words: P = R = 1, one chunk of 3
+    s = "man cooks food"
+    assert not any(w in FUNCTION_WORDS for w in s.split())
+    st = meteor15_stats(s, s)
+    assert st.matches == 3 and st.chunks == 1
+    assert st.m_h_content == (3, 0) and st.m_h_function == (0, 0)
+    pen = 0.6 * (1 / 3) ** 0.2
+    assert meteor15_pair(s, s) == pytest.approx(1.0 * (1 - pen), abs=1e-12)
+
+    # mixed content/function, exact matches only: "the man" vs "the dog".
+    # match = {the}: function on both sides. δ-weighted:
+    # P = R = (1-δ)·1 / (δ·1 + (1-δ)·1) = 0.25/1.0
+    st = meteor15_stats("the man", "the dog")
+    assert st.matches == 1 and st.chunks == 1
+    assert st.m_h_function == (1, 0) and st.m_h_content == (0, 0)
+    p = r = 0.25
+    f = p * r / (0.85 * p + 0.15 * r)
+    want = f * (1 - 0.6 * (1 / 1) ** 0.2)
+    assert meteor15_pair("the man", "the dog") == pytest.approx(
+        want, abs=1e-12)
+
+    # stem-stage match gets weight 0.6: "runs" vs "running" (both content)
+    st = meteor15_stats("runs", "running")
+    assert st.matches == 1
+    assert st.m_h_content == (0, 1)   # stage 1 = stem
+    p = r = 0.6 * 0.75 / 0.75         # w_stem·δ·1 / (δ·1)
+    f = p * r / (0.85 * p + 0.15 * r)
+    want = f * (1 - 0.6)              # chunks/m = 1 → penalty γ·1^β = γ
+    assert meteor15_pair("runs", "running") == pytest.approx(want, abs=1e-12)
+
+    # no match → 0
+    assert meteor15_pair("alpha beta", "gamma delta") == 0.0
+
+
+def test_meteor_corpus_15_aggregates_statistics():
+    """The 1.5 corpus score sums Meteor15Stats over segments (jar
+    aggregation), computed once from totals — pinned golden."""
+    from video_mamba_suite_tpu.tasks.captioning.meteor import (
+        Meteor15Stats,
+        meteor15_from_stats,
+        meteor15_stats,
+    )
+
+    gts = {0: ["a man cooks food"], 1: ["the dog runs home"]}
+    res = {0: ["a man cooks food"], 1: ["cats sleep"]}
+    tot = Meteor15Stats.zero()
+    tot = tot + meteor15_stats(res[0][0], gts[0][0])
+    tot = tot + meteor15_stats(res[1][0], gts[1][0])
+    want = meteor15_from_stats(tot)
+    score, seg = meteor_corpus(gts, res)   # version="1.5" is the default
+    assert score == pytest.approx(want, abs=1e-12)
+    assert seg[1] == 0.0
+    # and it differs from the 1.0 parametrization (regression guard that
+    # the default really switched)
+    assert score != pytest.approx(
+        meteor_corpus(gts, res, version="1.0")[0], abs=1e-6)
 
 
 def test_ptb_tokenize_protocol_cases():
@@ -230,7 +298,10 @@ def test_evaluate_dvc_garbage_pairs_and_all_overlap():
     preds_good = {"v": [dict(timestamp=[0.0, 10.0],
                              sentence="a man cooks dinner")]}
     res_good = evaluate_dvc(preds_good, gt, tious=(0.3,))
-    assert res_good["METEOR"] > 99.0  # both pairs perfect
+    # both pairs perfect — METEOR-1.5 scores a perfect 4-word pair
+    # 1 − 0.6·(chunks/matches)^0.2 (corpus: m=8, ch=2) ≈ 0.545
+    assert res_good["METEOR"] == pytest.approx(
+        100 * (1 - 0.6 * (2 / 8) ** 0.2), abs=1e-6)
 
     # add a non-overlapping prediction → garbage pair at every tIoU
     preds_mixed = {"v": preds_good["v"] + [

@@ -112,10 +112,14 @@ def test_caption_metrics():
     res = evaluate_dvc(preds, gt)
     assert res["recall"] == 100.0 and res["precision"] == 100.0
     assert res["BLEU4"] > 99.0
-    assert res["METEOR"] > 99.0
+    # METEOR-1.5: a perfect 4-word match scores (1 − γ·(1/4)^β) ≈ 0.545,
+    # NOT ~1.0 — the 1.5 fragmentation penalty (β=0.2) keeps even perfect
+    # matches well below 1 (jar behavior; meteor.py)
+    assert 45.0 < res["METEOR"] < 65.0
     assert res["ROUGE_L"] == 100.0
     assert res["CIDEr"] > 500.0  # perfect match = raw 10 → 1000 after x100
-    assert soda_c(preds, gt) > 90.0
+    assert 45.0 < soda_c(preds, gt) < 65.0   # reward capped by the same
+    # 1.5 penalty: tIoU 1.0 × METEOR ≈ 0.545 per perfectly-matched event
 
 
 @pytest.mark.slow

@@ -42,7 +42,11 @@ def test_evaluate_para_perfect_prediction():
     # concatenated paragraph normalizes to exactly the GT paragraph
     assert out["para_Bleu_4"] == pytest.approx(100.0, abs=1e-4)
     assert out["para_ROUGE_L"] == pytest.approx(100.0, abs=1e-4)
-    assert out["para_METEOR"] > 99.0
+    # METEOR-1.5 semantics (the protocol jar's parametrization): a perfect
+    # match does NOT score 1.0 — the fragmentation penalty γ·(ch/m)^β with
+    # β=0.2 stays material even at 1 chunk (γ·(1/6)^0.2 ≈ 0.42). Golden
+    # pinned from the 1.5 scoring function (meteor.py).
+    assert out["para_METEOR"] == pytest.approx(58.070373, abs=1e-3)
 
 
 def test_evaluate_para_missing_video_scores_empty():

@@ -19,7 +19,6 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .meteor import meteor
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
@@ -145,15 +144,23 @@ def evaluate_dvc(
     ground_truth,                          # vid → [{timestamp, sentence}] or
                                            # a list of such dicts (multi-file)
     tious: Sequence[float] = (0.3, 0.5, 0.7, 0.9),
+    max_proposals: int = 1000,
+    protocol: str = "2018",
 ) -> Dict[str, float]:
-    """PROTOCOL-exact 2018 evaluator (densevid_eval3/evaluate2018.py):
+    """PROTOCOL-exact 2018/2021 evaluator (densevid_eval3/evaluate2018.py):
 
     Per tIoU: every (prediction, GT) pair with IoU ≥ tIoU becomes a scoring
     instance (ALL overlapping GTs, not just the best); predictions matching
-    nothing are paired with the garbage reference 'abc123!@#' (:205-210).
-    Captions are PTB-tokenized; each CORPUS scorer (scorers.py) runs once
-    PER VIDEO over that video's instances, scores are averaged over videos
-    (:229-247), then over tIoUs (eval_utils.py:131 sum(v)/len(v)), ×100.
+    nothing are paired with a garbage reference — 'abc123!@#' under the
+    2018 protocol (:205-210), a random 10–20-letter string under 2021
+    (evaluate2021.py:213 — deterministic seeded here; either way it never
+    matches). Captions are PTB-tokenized; each CORPUS scorer (scorers.py)
+    runs once PER VIDEO over that video's instances, scores are averaged
+    over videos (:229-247), then over tIoUs (eval_utils.py:131), ×100.
+    METEOR uses the jar's 1.5 parametrization (scorers.meteor_corpus).
+
+    Each video's prediction list is truncated to `max_proposals` first
+    (evaluate2018.py:74, default 1000).
 
     Detection recall/precision (:127-158): per-video covered fractions with
     STRICT IoU > tIoU, best over GT files, averaged over videos and tIoUs.
@@ -165,6 +172,22 @@ def evaluate_dvc(
         ptb_tokenize,
         rouge_l_corpus,
     )
+
+    if max_proposals is not None:
+        predictions = {v: p[:max_proposals] for v, p in predictions.items()}
+    if protocol == "2021":
+        import random as _random
+        import string as _string
+
+        _rng = _random.Random(0x2021)
+
+        def _garbage() -> str:
+            return "".join(
+                _rng.choice(_string.ascii_lowercase)
+                for _ in range(_rng.randint(10, 20)))
+    else:
+        def _garbage() -> str:
+            return "abc123!@#"
 
     gt_list = _as_gt_list(ground_truth)
     gt_vid_ids = sorted({v for gt in gt_list for v in gt.keys()})
@@ -220,7 +243,7 @@ def evaluate_dvc(
                             added = True
                 if not added:
                     vid_res[vid][uid] = [ptb_tokenize(p["sentence"])]
-                    vid_gts[vid][uid] = [ptb_tokenize("abc123!@#")]
+                    vid_gts[vid][uid] = [ptb_tokenize(_garbage())]
                     uid += 1
         for name, fn in scorer_fns:
             per_vid = [
@@ -351,9 +374,14 @@ def rerank_predictions(
 def soda_c(predictions: Dict[str, List[dict]],
            ground_truth: Dict[str, List[dict]]) -> float:
     """SODA-c (eval_soda.py:45): per-video optimal order-preserving
-    matching (DP) of predictions to GT with reward = tIoU × METEOR (the
-    exact+Porter-stem scorer, meteor.py — same family as evaluate_dvc);
+    matching (DP) of predictions to GT with reward = tIoU × METEOR.
+    The protocol's pairwise METEOR is the 1.5 jar (pycocoevalcap) on
+    PTB-tokenized captions — scored here with meteor.meteor15_pair (same
+    parametrization; jar deviations documented in meteor.py/PARITY.md);
     F-measure averaged over videos."""
+    from .meteor import meteor15_pair
+    from .scorers import ptb_tokenize
+
     fs = []
     for vid, gts in ground_truth.items():
         preds = predictions.get(vid, [])
@@ -361,11 +389,14 @@ def soda_c(predictions: Dict[str, List[dict]],
             fs.append(0.0)
             continue
         n, m = len(preds), len(gts)
+        ptoks = [ptb_tokenize(p["sentence"]) for p in preds]
+        gtoks = [ptb_tokenize(g["sentence"]) for g in gts]
         score = np.zeros((n, m))
         for i, p in enumerate(preds):
             for j, g in enumerate(gts):
                 iou = _tiou(p["timestamp"], g["timestamp"])
-                score[i, j] = iou * meteor(p["sentence"], [g["sentence"]])
+                if iou > 0.0:
+                    score[i, j] = iou * meteor15_pair(ptoks[i], gtoks[j])
         # DP: order-preserving max-sum matching
         dp = np.zeros((n + 1, m + 1))
         for i in range(1, n + 1):

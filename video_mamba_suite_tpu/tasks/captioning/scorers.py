@@ -16,14 +16,17 @@ Parity status (measured bounds in PARITY.md):
                 combined AFTER the max — not max-F).
   * Cider     — exact (raw-tf·idf vectors, min-clipped numerator, per-call
                 idf from the reference set, Gaussian length penalty, ×10).
-  * Meteor    — STAND-IN: the protocol scorer is the METEOR-1.5 Java jar
-                (WordNet synonymy + paraphrase tables, α=.85/β=.2/γ=.6/δ=.75)
-                which cannot run here (no JVM/WordNet). This implements the
-                METEOR-1.0 aggregate (exact + Porter-stem stages,
-                α=.9/β=3/γ=.5 — the parametrization nltk replicates) with the
-                jar's corpus aggregation (statistics summed over segments,
-                score computed once from totals). Validated exactly against
-                nltk's independent implementation (tests/test_caption_protocol.py).
+  * Meteor    — METEOR-1.5 scoring semantics (the jar's English defaults:
+                α=.85/β=.2/γ=.6/δ=.75, weighted exact+stem matcher stages,
+                content/function-word weighting, 1.5 fragmentation penalty)
+                with the jar's corpus aggregation (statistics summed over
+                segments, score computed once from totals). Residual jar
+                deviations — WordNet synonym/paraphrase stages omitted
+                (one-sided: jar ≥ ours), curated function-word list, greedy
+                stage alignment — documented in meteor.py + PARITY.md. The
+                1.0 parametrization (α=.9/β=3/γ=.5, nltk-replicable) stays
+                available via version="1.0" and is cross-validated
+                bit-for-bit against nltk (tests/test_caption_protocol.py).
   * tokenizer — PTB approximation: lowercase, clitic splitting (n't/'s/…),
                 punctuation tokens split off and the pycocoevalcap
                 PUNCTUATIONS list removed. Exact on caption-style text.
@@ -246,24 +249,64 @@ def cider_corpus(
 
 
 def meteor_corpus(
-    gts: Dict, res: Dict, alpha: float = 0.9, beta: float = 3.0,
-    gamma: float = 0.5,
+    gts: Dict, res: Dict, alpha: float = None, beta: float = None,
+    gamma: float = None, version: str = "1.5",
 ) -> Tuple[float, List[float]]:
     """Corpus METEOR the way the jar aggregates (pycocoevalcap Meteor
     returns the jar's system-level score): per segment pick the best
-    reference, SUM its (matches, chunks, hyp_len, ref_len) statistics over
-    all segments, then compute P/R/F-mean and the fragmentation penalty once
-    from the totals. Segment scores (second return) use the same best-ref
-    stats. Matcher stages = exact + Porter stem (see module docstring for
-    the documented METEOR-1.5 deviations)."""
+    reference, SUM its alignment statistics over all segments, then compute
+    P/R/F-mean and the fragmentation penalty once from the totals. Segment
+    scores (second return) use the same best-ref stats.
+
+    version="1.5" (default — the protocol scorer's parametrization,
+    α=.85/β=.2/γ=.6/δ=.75, weighted exact+stem stages, content/function
+    weighting; meteor.meteor15_from_stats) or "1.0" (α=.9/β=3/γ=.5,
+    unweighted — the parametrization the nltk cross-validation tests pin).
+    See meteor.py's module docstring for the documented jar deviations.
+
+    Zero-score tie rule: when EVERY reference scores 0 for a segment (e.g.
+    the protocol's garbage-ref pairs), the FIRST reference's statistics
+    enter the corpus totals — deterministic given the gts list order. The
+    jar's choice among zero-scoring refs is likewise its iteration-first
+    one; only hyp_len (shared) and the tiny ref_len of the unmatched ref
+    differ across candidates, a sub-0.01-point corpus effect on the
+    fixtures (PARITY.md)."""
+    if version == "1.5":
+        from .meteor import Meteor15Stats, meteor15_from_stats, meteor15_stats
+
+        kw = {}
+        if alpha is not None:
+            kw["alpha"] = alpha
+        if beta is not None:
+            kw["beta"] = beta
+        if gamma is not None:
+            kw["gamma"] = gamma
+        tot = Meteor15Stats.zero()
+        seg_scores: List[float] = []
+        for iid in sorted(res.keys(), key=str):
+            hyp = res[iid][0]
+            best, best_stats = 0.0, None
+            for ref in gts[iid]:
+                st = meteor15_stats(hyp, ref)
+                s = meteor15_from_stats(st, **kw)
+                if best_stats is None or s > best:
+                    best, best_stats = s, st
+            seg_scores.append(best)
+            if best_stats is not None:
+                tot = tot + best_stats
+        return meteor15_from_stats(tot, **kw), seg_scores
+
+    a = 0.9 if alpha is None else alpha
+    b = 3.0 if beta is None else beta
+    g = 0.5 if gamma is None else gamma
     tot_m = tot_ch = tot_lh = tot_lr = 0
-    seg_scores: List[float] = []
+    seg_scores = []
     for iid in sorted(res.keys(), key=str):
         hyp = res[iid][0]
         best, best_stats = 0.0, None
         for ref in gts[iid]:
             m, ch, lh, lr = meteor_stats(hyp, ref)
-            s = _meteor_from_stats(m, ch, lh, lr, alpha, beta, gamma)
+            s = _meteor_from_stats(m, ch, lh, lr, a, b, g)
             if best_stats is None or s > best:
                 best, best_stats = s, (m, ch, lh, lr)
         seg_scores.append(best)
@@ -273,7 +316,7 @@ def meteor_corpus(
             tot_lh += best_stats[2]
             tot_lr += best_stats[3]
     return (_meteor_from_stats(tot_m, tot_ch, tot_lh, tot_lr,
-                               alpha, beta, gamma), seg_scores)
+                               a, b, g), seg_scores)
 
 
 def _meteor_from_stats(m: int, chunks: int, len_h: int, len_r: int,
