@@ -38,9 +38,17 @@ class FeatureReader:
         elif self.ext == ".npz":
             arr = np.load(path)["features"]
         elif self.ext == ".pt":
-            import torch
+            from .pt_reader import is_zip_pt, load_pt
 
-            arr = torch.load(path, map_location="cpu").numpy()
+            if is_zip_pt(path):
+                # torch-free zip-format reader (the only format modern
+                # torch.save emits) — removes the serving path's last
+                # torch dependency
+                arr = np.asarray(load_pt(path))
+            else:  # pre-1.6 legacy format: torch is the only reader
+                import torch
+
+                arr = torch.load(path, map_location="cpu").numpy()
         else:
             raise ValueError(f"unknown feature ext {self.ext!r}")
         if self.cache_size and len(self._cache) < self.cache_size:
