@@ -28,6 +28,28 @@ from .matcher import hungarian_match, match_cost
 from .metrics import evaluate_dvc, soda_c
 from .model import PDVC
 
+_CALLBACK_OK: Optional[bool] = None
+
+
+def _callback_supported() -> bool:
+    """One-time, process-wide probe: does the runtime dispatch host
+    callbacks? (The axon TPU runtime rejects send/recv with UNIMPLEMENTED.)
+    Narrow except: an unrelated transient failure (OOM, tunnel flake) must
+    propagate, not silently pin the trainer to the two-phase path."""
+    global _CALLBACK_OK
+    if _CALLBACK_OK is None:
+        try:
+            jax.jit(lambda x: jax.pure_callback(
+                lambda a: a, jax.ShapeDtypeStruct((), jnp.float32), x,
+            ))(jnp.float32(0)).block_until_ready()
+            _CALLBACK_OK = True
+        except jax.errors.JaxRuntimeError as e:
+            if not any(s in str(e) for s in
+                       ("UNIMPLEMENTED", "callback", "send", "recv")):
+                raise
+            _CALLBACK_OK = False
+    return _CALLBACK_OK
+
 
 class CaptioningTrainer:
     def __init__(self, model: PDVC, lr: float = 5e-5, weight_decay: float = 1e-4,
@@ -202,15 +224,7 @@ class CaptioningTrainer:
         feats, mask, gt_boxes, gt_labels, gt_valid, captions = self.core.shard(
             (feats, mask, gt_boxes, gt_labels, gt_valid, captions))
         if self._use_callback is None:
-            # cheap probe: avoids compiling the full callback step on
-            # runtimes that reject host callbacks at dispatch (axon TPU)
-            try:
-                jax.jit(lambda x: jax.pure_callback(
-                    lambda a: a, jax.ShapeDtypeStruct((), jnp.float32), x,
-                ))(jnp.float32(0)).block_until_ready()
-                self._use_callback = True
-            except Exception:  # noqa: BLE001 — UNIMPLEMENTED JaxRuntimeError
-                self._use_callback = False
+            self._use_callback = _callback_supported()
         if self._use_callback:
             try:
                 self.params, self.opt_state, losses = self._step(
