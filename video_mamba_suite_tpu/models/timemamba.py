@@ -190,12 +190,19 @@ class _BlockScanBody(nn.Module):
     group: int = 1   # blocks per scan step (HLO is O(group); larger groups
                      # amortize the while-loop carry copies — profiled at
                      # ~4.5 ms/block of pure copy/add overhead at group=1)
+    dual_stream: bool = False  # carry two half-batch streams and apply the
+                     # (shared-param) block to each sequentially, so every
+                     # MXU phase of one stream sits program-adjacent to an
+                     # independent VPU (scan) phase of the other — the
+                     # phase-shifted schedule probed by
+                     # benchmarks/r11_dual_stream.py
 
     @nn.compact
     def __call__(self, carry, _):
-        cls, patches = carry
+        streams = carry if self.dual_stream else (carry,)
+        out = []
         for gi in range(self.group):
-            cls, patches = SpaceTimeBlock(
+            blk = SpaceTimeBlock(
                 dim=self.dim, num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 drop=self.drop, drop_path=self.drop_path,
@@ -206,8 +213,11 @@ class _BlockScanBody(nn.Module):
                 ring_mesh=self.ring_mesh, ring_axes=self.ring_axes,
                 name=f"block{gi}" if self.group > 1
                 else "block",
-            )(cls, patches, deterministic=self.deterministic)
-        return (cls, patches), None
+            )
+            out = [blk(cls, patches, deterministic=self.deterministic)
+                   for cls, patches in streams]
+            streams = tuple(out)
+        return (streams if self.dual_stream else streams[0]), None
 
 
 class TimeMamba(nn.Module):
@@ -251,6 +261,9 @@ class TimeMamba(nn.Module):
     ring_axes: Any = ("data", "seq")  # temporal adapters ring-scan over
                                     # ring_axes[1] (frame axis sharded);
                                     # spatial attention/MLP stay local
+    dual_stream: bool = False       # phase-shifted two-half-batch schedule
+                                    # (see _BlockScanBody.dual_stream);
+                                    # requires scan_blocks and even batch
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -355,10 +368,24 @@ class TimeMamba(nn.Module):
                 attn_flash=self.attn_flash,
                 dtype=self.dtype, quant=self.quant,
                 ring_mesh=self.ring_mesh, ring_axes=self.ring_axes,
+                dual_stream=self.dual_stream,
                 name="blocks",
             )
-            (cls_tokens, patches), _ = scanned((cls_tokens, patches), None)
+            if self.dual_stream:
+                assert B % 2 == 0 and self.ring_mesh is None, \
+                    "dual_stream needs an even batch and no ring mesh"
+                h = B // 2
+                carry = ((cls_tokens[:h], patches[:h]),
+                         (cls_tokens[h:], patches[h:]))
+                streams, _ = scanned(carry, None)
+                cls_tokens = jnp.concatenate(
+                    [s[0] for s in streams], axis=0)
+                patches = jnp.concatenate([s[1] for s in streams], axis=0)
+            else:
+                (cls_tokens, patches), _ = scanned(
+                    (cls_tokens, patches), None)
         else:
+            assert not self.dual_stream, "dual_stream requires scan_blocks"
             dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                    for i in range(self.depth)]
             for i in range(self.depth):
