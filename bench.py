@@ -34,6 +34,60 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 import jax.numpy as jnp
 
 
+# ---------------------------------------------------------------------------
+# Regression gates (VERDICT r4 weak-#4): every chip surface asserts a minimum
+# against its round-4 BENCH value, with floors slack enough for the DOCUMENTED
+# tunnel-load variance (scan has read 72% of its healthy value under load;
+# clips/s swings ±5%; CLI trajectories are deterministic converged metrics so
+# their floors are tight). A regression (or a trajectory that stops
+# converging, or a print-format drift that parses as nan) flips the process
+# exit code to 1 — the driver's BENCH_r*.json records rc — while the primary
+# JSON line still prints for tracking.
+_GATE_RESULTS = []  # (name, value, lo, hi, ok)
+
+
+def _gate(name, value, lo=None, hi=None):
+    """Record a floor/ceiling check. nan (a parse failure upstream) fails."""
+    import math
+
+    ok = (value is not None and not math.isnan(value)
+          and (lo is None or value >= lo) and (hi is None or value <= hi))
+    _GATE_RESULTS.append((name, value, lo, hi, bool(ok)))
+    return ok
+
+
+# every gate that must have been recorded by the end of a full TPU bench —
+# a section that died in _safe() and never gated counts as a failure
+_EXPECTED_GATES = (
+    "scan_mtok_s", "train_step_ms", "decode_tok_s", "tal_step_ms",
+    "long_mtok_s", "vtg_r1_05", "vtg_map_avg", "mir_avg_map", "tas_f1_50",
+    "cap_cider", "cap_meteor", "ant_mean_ap", "rec_top1", "clips_per_sec",
+)
+
+
+def gate_summary(expected=_EXPECTED_GATES):
+    """Print per-gate lines; return process exit code (0 ok, 1 regression)."""
+    seen = {r[0] for r in _GATE_RESULTS}
+    failures = [r for r in _GATE_RESULTS if not r[4]]
+    for name, value, lo, hi, ok in _GATE_RESULTS:
+        bound = " ".join(
+            ([f">={lo:g}"] if lo is not None else [])
+            + ([f"<={hi:g}"] if hi is not None else []))
+        print(f"[gate] {'PASS' if ok else 'FAIL'} {name} = "
+              f"{value if value is None else round(value, 3)} (want {bound})",
+              file=sys.stderr)
+    missing = [n for n in expected if n not in seen]
+    for n in missing:
+        print(f"[gate] FAIL {n} NOT RECORDED (section crashed or was "
+              f"skipped)", file=sys.stderr)
+    n_bad = len(failures) + len(missing)
+    print(f"[gate] {len(_GATE_RESULTS) - len(failures)}/"
+          f"{len(_GATE_RESULTS)} recorded gates pass"
+          + (f", {n_bad} FAILURE(S) -> rc=1" if n_bad else " -> rc=0"),
+          file=sys.stderr)
+    return 1 if n_bad else 0
+
+
 def _fetch(out):
     """Force completion with a host fetch — jax.block_until_ready has been
     observed NOT to block under the tunneled axon platform for large
@@ -147,6 +201,8 @@ def bench_scan():
         f"vpu {t_vpu*1e3:.2f} ms vs hbm {t_hbm*1e3:.2f} ms)",
         file=sys.stderr,
     )
+    # round-4 healthy point 17.47 Mtok/s; documented loaded-tunnel low 12.6
+    _gate("scan_mtok_s", b * l / t_p / 1e6, lo=12.0)
 
 
 def bench_train_step(batch: int = 8, frames: int = 16, size: int = 224,
@@ -199,6 +255,7 @@ def bench_train_step(batch: int = 8, frames: int = 16, size: int = 224,
         f"(fwd+bwd+adamw, remat, bf16)",
         file=sys.stderr,
     )
+    _gate("train_step_ms", t * 1e3, hi=450.0)  # round-4: 345 ms
 
 
 def bench_decode(batch: int = 8, promptlen: int = 16, genlen: int = 128,
@@ -234,6 +291,7 @@ def bench_decode(batch: int = 8, promptlen: int = 16, genlen: int = 128,
         f"{dt / (promptlen + genlen) * 1e3:.2f} ms/step",
         file=sys.stderr,
     )
+    _gate("decode_tok_s", toks / dt, lo=18000.0)  # round-4: 25.9k
 
 
 def bench_cli_trajectories(vtg_epochs: int = 50, mir_epochs: int = 20,
@@ -256,90 +314,110 @@ def bench_cli_trajectories(vtg_epochs: int = 50, mir_epochs: int = 20,
 
     from video_mamba_suite_tpu.cli import main as cli_main
 
+    NAN = float("nan")
+    num = r"(?:np\.float64\()?([0-9.eE+-]+)"  # numpy-2 repr wraps values
+
     def run(argv):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             cli_main(argv)
         return buf.getvalue()
 
+    def _f1(pattern, out, group=1):
+        """First match as float; nan on no-match (a print-format drift must
+        degrade to nan — which FAILS its gate — not crash the whole
+        trajectories section, ADVICE r4 #2)."""
+        m = re.search(pattern, out)
+        try:
+            return float(m.group(group)) if m else NAN
+        except (ValueError, IndexError):
+            return NAN
+
+    def _fends(pattern, out):
+        """(first, last) match as floats; (nan, nan) when absent."""
+        vals = re.findall(pattern, out)
+        try:
+            return (float(vals[0]), float(vals[-1])) if vals else (NAN, NAN)
+        except ValueError:
+            return (NAN, NAN)
+
     out = run(["vtg", "--synthetic", "--epochs", str(vtg_epochs)])
-    losses = re.findall(r"'loss_total': ([0-9.eE+-]+)", out)
-    r1 = re.search(r"'R1@0.5': ([0-9.eE+-]+)", out)
-    mp = re.search(r"'mAP_avg': ([0-9.eE+-]+)", out)
+    l0, l1 = _fends(r"'loss_total': ([0-9.eE+-]+)", out)
+    r1 = _f1(r"'R1@0.5': ([0-9.eE+-]+)", out)
+    mp = _f1(r"'mAP_avg': ([0-9.eE+-]+)", out)
     print(
         f"[train] VTG-MR synthetic CLI trajectory ({4 * vtg_epochs} steps "
-        f"on chip): loss_total {float(losses[0]):.3f}→"
-        f"{float(losses[-1]):.3f}, eval R1@0.5 "
-        f"{float(r1.group(1)) if r1 else float('nan'):.2f}, mAP@avg "
-        f"{float(mp.group(1)) if mp else float('nan'):.2f}",
+        f"on chip): loss_total {l0:.3f}→{l1:.3f}, eval R1@0.5 {r1:.2f}, "
+        f"mAP@avg {mp:.2f}",
         file=sys.stderr,
     )
+    _gate("vtg_r1_05", r1, lo=90.0)     # round-4: 100.0
+    _gate("vtg_map_avg", mp, lo=80.0)   # round-4: 94.6
 
     out = run(["egocentric", "--synthetic", "--epochs", str(mir_epochs),
                "--set", "train.mode=mir"])
-    steps = re.findall(r"step \d+: loss ([0-9.eE+-]+)", out)
-    final = re.search(r"loss ([0-9.eE+-]+), avg_map ([0-9.eE+-]+), "
-                      r"avg_ndcg ([0-9.eE+-]+)", out)
+    s0, _ = _fends(r"step \d+: loss ([0-9.eE+-]+)", out)
+    lf = _f1(r"loss ([0-9.eE+-]+), avg_map [0-9.eE+-]+", out)
+    amap = _f1(r"avg_map ([0-9.eE+-]+)", out)
+    andcg = _f1(r"avg_ndcg ([0-9.eE+-]+)", out)
     print(
         f"[train] ego-MIR synthetic CLI trajectory ({10 * mir_epochs} steps "
-        f"on chip): loss {float(steps[0]):.3f}→{float(final.group(1)):.3f}, "
-        f"avg_mAP {float(final.group(2)):.2f}, "
-        f"avg_nDCG {float(final.group(3)):.2f}",
+        f"on chip): loss {s0:.3f}→{lf:.3f}, avg_mAP {amap:.2f}, "
+        f"avg_nDCG {andcg:.2f}",
         file=sys.stderr,
     )
+    _gate("mir_avg_map", amap, lo=0.9)  # round-4: 1.00
 
     out = run(["tas", "--synthetic", "--epochs", str(tas_epochs)])
-    losses = re.findall(r"'loss': ([0-9.eE+-]+)", out)
-    num = r"(?:np\.float64\()?([0-9.eE+-]+)"  # numpy-2 repr wraps values
-    ev = re.search(r"eval: \{[^}]*'acc': " + num + r"[^}]*'F1@50': " + num,
-                   out)
+    l0, l1 = _fends(r"'loss': ([0-9.eE+-]+)", out)
+    acc = _f1(r"eval: \{[^}]*'acc': " + num, out)
+    f1 = _f1(r"eval: \{[^}]*'F1@50': " + num, out)
     print(
         f"[train] TAS synthetic CLI trajectory ({4 * tas_epochs} steps on "
-        f"chip): loss {float(losses[0]):.3f}→{float(losses[-1]):.3f}, eval "
-        f"acc {float(ev.group(1)) if ev else float('nan'):.2f}, F1@50 "
-        f"{float(ev.group(2)) if ev else float('nan'):.2f}",
+        f"chip): loss {l0:.3f}→{l1:.3f}, eval acc {acc:.2f}, F1@50 {f1:.2f}",
         file=sys.stderr,
     )
+    _gate("tas_f1_50", f1, lo=90.0)     # round-4: 99.0
 
     out = run(["captioning", "--synthetic", "--epochs", str(cap_epochs)])
-    losses = re.findall(r"'loss_total': (?:Array\()?([0-9.eE+-]+)", out)
-    cider = re.search(r"eval: \{[^}]*'CIDEr': " + num, out)
-    meteor = re.search(r"eval: \{[^}]*'METEOR': " + num, out)
-    recall = re.search(r"eval: \{[^}]*'recall': " + num, out)
+    l0, l1 = _fends(r"'loss_total': (?:Array\()?([0-9.eE+-]+)", out)
+    cider = _f1(r"eval: \{[^}]*'CIDEr': " + num, out)
+    meteor = _f1(r"eval: \{[^}]*'METEOR': " + num, out)
+    recall = _f1(r"eval: \{[^}]*'recall': " + num, out)
     print(
         f"[train] dense-captioning synthetic CLI trajectory "
         f"({10 * cap_epochs} steps on chip): loss_total "
-        f"{float(losses[0]):.3f}→{float(losses[-1]):.3f}, dvc eval recall "
-        f"{float(recall.group(1)) if recall else float('nan'):.2f}, CIDEr "
-        f"{float(cider.group(1)) if cider else float('nan'):.2f}, METEOR "
-        f"{float(meteor.group(1)) if meteor else float('nan'):.2f}",
+        f"{l0:.3f}→{l1:.3f}, dvc eval recall {recall:.2f}, CIDEr "
+        f"{cider:.2f}, METEOR {meteor:.2f}",
         file=sys.stderr,
     )
+    _gate("cap_cider", cider, lo=200.0)  # round-4: 291.7 (CIDEr unchanged)
+    # METEOR floor set under 1.5 semantics (round-4's 47.2 was 1.0-scale;
+    # 1.5's beta=0.2 penalty rescales everything ~0.5x)
+    _gate("cap_meteor", meteor, lo=10.0)
 
     out = run(["anticipation", "--synthetic", "--epochs", str(ant_epochs)])
-    losses = re.findall(r"loss ([0-9.eE+-]+)", out)
-    ap = re.search(r"eval: \{[^}]*'mean_AP': " + num, out)
-    rec5 = re.search(r"eval: \{[^}]*'recall@5': " + num, out)
+    l0, l1 = _fends(r"loss ([0-9.eE+-]+)", out)
+    ap = _f1(r"eval: \{[^}]*'mean_AP': " + num, out)
+    rec5 = _f1(r"eval: \{[^}]*'recall@5': " + num, out)
     print(
         f"[train] anticipation synthetic CLI trajectory ({5 * ant_epochs} "
-        f"steps on chip): loss {float(losses[0]):.3f}→"
-        f"{float(losses[-1]):.3f}, eval mean_AP "
-        f"{float(ap.group(1)) if ap else float('nan'):.2f}, recall@5 "
-        f"{float(rec5.group(1)) if rec5 else float('nan'):.2f}",
+        f"steps on chip): loss {l0:.3f}→{l1:.3f}, eval mean_AP {ap:.2f}, "
+        f"recall@5 {rec5:.2f}",
         file=sys.stderr,
     )
+    _gate("ant_mean_ap", ap, lo=0.9)    # round-4: 1.00
 
     out = run(["recognition", "--synthetic", "--epochs", str(rec_epochs)])
-    losses = re.findall(r"loss ([0-9.eE+-]+)", out)
-    t1 = re.search(r"eval: \{[^}]*'top1': " + num, out)
+    l0, l1 = _fends(r"loss ([0-9.eE+-]+)", out)
+    t1 = _f1(r"eval: \{[^}]*'top1': " + num, out)
     print(
         f"[train] recognition synthetic CLI trajectory ({2 * rec_epochs} "
-        f"steps on chip): loss {float(losses[0]):.3f}→"
-        f"{float(losses[-1]):.3f}, eval top1 "
-        f"{float(t1.group(1)) if t1 else float('nan'):.2f} — all seven "
-        f"task suites' train→eval→metric loops now chip-validated",
+        f"steps on chip): loss {l0:.3f}→{l1:.3f}, eval top1 {t1:.2f} — all "
+        f"seven task suites' train→eval→metric loops chip-validated",
         file=sys.stderr,
     )
+    _gate("rec_top1", t1, lo=90.0)      # round-4: 100.0
 
 
 def main():
@@ -435,9 +513,19 @@ def main():
     def _tal():
         from benchmarks.bench_training import bench_tal_train
 
-        bench_tal_train()
+        t = bench_tal_train()
+        _gate("tal_step_ms", t * 1e3, hi=90.0)  # round-4: 53; loaded: 66
+
+    def _long():
+        # the reference's 1M-token self-test, standing chip point
+        # (avion/models/timemamba.py:392-400 runs 5000 frames ≈ 1e6 tokens)
+        from benchmarks.bench_training import bench_long_context
+
+        t = bench_long_context()
+        _gate("long_mtok_s", 1_048_576 / t / 1e6, lo=6.0)  # round-4: 8.9
 
     _safe("TAL train step", _tal)
+    _safe("1M-token long context", _long)
     _safe("CLI trajectories", bench_cli_trajectories)
 
     from benchmarks.profile_timemamba import timemamba_flops
@@ -462,6 +550,7 @@ def main():
         f"ceiling for this op mix — BASELINE.md)",
         file=sys.stderr,
     )
+    _gate("clips_per_sec", clips_pallas, lo=84.0)  # round-4: 98.9, ±5% swing
     print(json.dumps({
         "metric": "timemamba_b_clips_per_sec_per_chip",
         "value": round(clips_pallas, 2),
@@ -469,6 +558,10 @@ def main():
                 "documented ~165 clips/s A100 estimate)",
         "vs_baseline": round(clips_pallas / A100_CLIPS_EST, 3),
     }))
+    # regression gates: any failed/missing gate exits 1 (JSON already out)
+    rc = gate_summary()
+    if rc:
+        sys.exit(rc)
 
 
 if __name__ == "__main__":

@@ -137,6 +137,7 @@ def bench_tal_train(batch=2, seq_len=2304, feat_dim=2048, n_cls=20):
     t = _time(step, *batch_arrays, iters=8)
     print(f"[train] TAL ActionMamba step (b{batch}, l{seq_len}, dbm): "
           f"{t*1e3:.0f} ms → {batch/t:.1f} videos/s/chip", flush=True)
+    return t
 
 
 def bench_long_context(l=1_048_576, d=384, n=16):
@@ -152,6 +153,7 @@ def bench_long_context(l=1_048_576, d=384, n=16):
     t = _time(f, params, x, iters=5)
     print(f"[long] MambaVim d{d} fwd at {l/1e6:.1f}M tokens: {t*1e3:.0f} ms "
           f"→ {l/t/1e6:.1f} Mtok/s/chip", flush=True)
+    return t
 
 
 def main():
