@@ -136,10 +136,12 @@ def run_probe():
 # same way, vs the two ops in separate kernels.
 
 SC_BT, SC_T, SC_D, SC_N = 784, 16, 768, 16   # half-batch adapter shape
-SC_TILE = 112                                # instances per grid step (7
-                                             # steps; 256 blew the 128M
-                                             # VMEM budget with the fc1
-                                             # window double-buffered)
+SC_TILE = 14                                 # instances per grid step (56
+                                             # steps; 112 hit the 16M scoped
+                                             # VMEM stack limit — the T=16
+                                             # unrolled fp32 intermediates
+                                             # scale with the tile; 28 was
+                                             # 432KB over)
 
 
 def _row1(x, t: int):
