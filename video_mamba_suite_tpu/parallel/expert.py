@@ -78,6 +78,10 @@ class MoEMlp(nn.Module):
     group_size: int = -1
     mesh: Optional[Mesh] = None
     axis: str = "expert"
+    group_axis: Optional[str] = None  # composed data x expert parallelism:
+    # also pin the token-group dim over this mesh axis (groups follow batch
+    # rows, so a batch sharded over 'data' keeps dispatch local to the data
+    # shard and the a2a rides only the 'expert' axis)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,7 +121,7 @@ class MoEMlp(nn.Module):
                         tok.astype(cd))
         if self.mesh is not None:
             xe = jax.lax.with_sharding_constraint(
-                xe, NamedSharding(self.mesh, P(None, self.axis)))
+                xe, NamedSharding(self.mesh, P(self.group_axis, self.axis)))
         hmid = jax.nn.gelu(
             jnp.einsum("gecd,edh->gech", xe, w1.astype(cd)) +
             b1.astype(cd)[None, :, None], approximate=True)
@@ -125,7 +129,7 @@ class MoEMlp(nn.Module):
             b2.astype(cd)[None, :, None]
         if self.mesh is not None:
             ye = jax.lax.with_sharding_constraint(
-                ye, NamedSharding(self.mesh, P(None, self.axis)))
+                ye, NamedSharding(self.mesh, P(self.group_axis, self.axis)))
         out = jnp.einsum("gnec,gecd->gnd", combine.astype(cd), ye)
         return out.reshape(b, l, d).astype(x.dtype), aux
 

@@ -107,6 +107,7 @@ def audit_collectives(
     expect_collective_permutes: Optional[Tuple[int, int]] = None,
     max_total_bytes: Optional[int] = None,
     strict_permutes: bool = False,
+    min_all_to_all: Optional[int] = None,
 ) -> None:
     """Assert the compiled program's communication matches the budget.
 
@@ -117,7 +118,14 @@ def audit_collectives(
     * expect_collective_permutes — (lo, hi) inclusive count range for the
       ppermute rings (halo exchanges + log-step prefix + their transposes).
     * max_total_bytes — overall communication volume cap.
+    * min_all_to_all — expert dispatch must actually ride a2a collectives
+      (count floor), not get silently rewritten into gather/reduce traffic.
     """
+    if min_all_to_all is not None:
+        got = (stats.count("all-to-all") + stats.count("ragged-all-to-all"))
+        assert got >= min_all_to_all, (
+            f"all-to-all count {got} < expected {min_all_to_all} — expert "
+            f"dispatch is not riding a2a ({stats})")
     if max_all_gather_bytes is not None:
         got = stats.nbytes("all-gather")
         assert got <= max_all_gather_bytes, (
