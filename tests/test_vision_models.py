@@ -154,6 +154,43 @@ def test_vivim_scan_blocks():
     assert leaf.shape[0] == 4
 
 
+def test_timemamba_dual_stream_matches_single():
+    """dual_stream=True (two half-batch streams through the shared-param
+    scanned block stack — the r11 phase-shifted schedule that overlaps one
+    stream's VPU scan with the other's MXU matmuls on the chip) is a pure
+    SCHEDULE change: outputs must match the single-stream path bitwise-ish
+    (fp reassociation tolerance only)."""
+    import numpy as np
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 32, 32, 3))
+    outs = {}
+    for dual in (False, True):
+        model = TimeMamba(img_size=32, patch_size=16, embed_dim=64, depth=4,
+                          num_heads=4, num_frames=4, ln_pre=True,
+                          output_dim=32, impl="ref", scan_blocks=True,
+                          dual_stream=dual)
+        params = model.init({"params": jax.random.PRNGKey(1)}, x[:2])
+        outs[dual] = np.asarray(model.apply(params, x))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-5, atol=2e-5)
+
+
+def test_timemamba_dual_stream_guards():
+    """dual_stream needs scan_blocks and an even batch."""
+    import pytest
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3))
+    model = TimeMamba(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                      num_heads=4, num_frames=2, ln_pre=True, output_dim=16,
+                      impl="ref", scan_blocks=False, dual_stream=True)
+    with pytest.raises(AssertionError, match="scan_blocks"):
+        model.init({"params": jax.random.PRNGKey(1)}, x)
+    model = TimeMamba(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                      num_heads=4, num_frames=2, ln_pre=True, output_dim=16,
+                      impl="ref", scan_blocks=True, dual_stream=True)
+    with pytest.raises(AssertionError, match="even batch"):
+        model.init({"params": jax.random.PRNGKey(1)}, x[:1])
+
+
 def test_patchify_conv_matches_nn_conv():
     """PatchifyConv (im2col matmul lowering) is bit-compatible with the
     stride-p VALID nn.Conv it replaced: same param tree, same values,
