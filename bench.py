@@ -109,13 +109,18 @@ def _time_fn(f, *args, iters=10, warmup=2):
 
 
 def bench_timemamba(impl: str, batch: int = 8, frames: int = 16,
-                    size: int = 224, iters: int = 20):
+                    size: int = 224, iters: int = 20,
+                    dual_stream: bool = True):
     from video_mamba_suite_tpu.models.timemamba import TimeMamba
 
     model = TimeMamba(
         img_size=size, patch_size=16, embed_dim=768, depth=12, num_heads=12,
         num_frames=frames, ln_pre=True, output_dim=512, impl=impl,
         scan_blocks=True,  # keep the HLO O(1) in depth (remote-compile limit)
+        dual_stream=dual_stream,  # phase-shifted two-half-batch schedule:
+        # one stream's VPU scan overlaps the other's MXU matmuls — measured
+        # 80.1 → 77.4 ms on the chip (benchmarks/r11_dual_stream.py model);
+        # numerically identical to single-stream (1e-6 parity test)
         dtype=jnp.bfloat16,  # true bf16 matmuls (params stay fp32)
     )
     x = jax.random.normal(
@@ -219,6 +224,10 @@ def bench_train_step(batch: int = 8, frames: int = 16, size: int = 224,
         img_size=size, patch_size=16, embed_dim=768, depth=12, num_heads=12,
         num_frames=frames, ln_pre=True, output_dim=512, impl="pallas",
         scan_blocks=True, remat=True, remat_policy="save_scan",
+        dual_stream=True,  # two-half-batch phase-shifted schedule: 345 →
+        # 324 ms/step measured (r11_dual_stream model A/B — the bwd loop's
+        # remat-recompute + scan-bwd (VPU) overlap the other stream's
+        # matmul-bwd (MXU))
         dtype=jnp.bfloat16,  # save_scan: keep scan outputs across the remat
         # boundary (0.46 GB) so the bwd skips the fwd-scan recompute —
         # measured 371 → 356 ms/step vs whole-block remat (round 4)

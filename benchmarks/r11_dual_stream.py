@@ -135,13 +135,19 @@ def run_probe():
 # adapter shape, half batch) AND an MLP-fc1-sized dot, grid-partitioned the
 # same way, vs the two ops in separate kernels.
 
-SC_BT, SC_T, SC_D, SC_N = 784, 16, 768, 16   # half-batch adapter shape
-SC_TILE = 14                                 # instances per grid step (56
-                                             # steps; 112 hit the 16M scoped
-                                             # VMEM stack limit — the T=16
-                                             # unrolled fp32 intermediates
-                                             # scale with the tile; 28 was
-                                             # 432KB over)
+SC_BT, SC_T, SC_D, SC_N = 784, 8, 768, 16    # adapter shape at T=8 (the
+                                             # production frame count is 16;
+                                             # T=16 bodies sent the Mosaic
+                                             # scheduler into a >35-min
+                                             # compile — the dual-issue
+                                             # physics question tolerates
+                                             # the halved unroll)
+SC_TILE = 28                                 # instances per grid step (28
+                                             # steps); the T-unrolled fp32
+                                             # intermediates blow the 16M
+                                             # scoped stack limit at fatter
+                                             # tiles even with the raised
+                                             # vmem_limit_bytes
 
 
 def _row1(x, t: int):
@@ -220,6 +226,8 @@ def _fused_timed(mode, iters=50):
             jax.ShapeDtypeStruct((SC_BT, SC_T, SC_D), jnp.bfloat16),
             jax.ShapeDtypeStruct((mm_rows * steps, D2), jnp.bfloat16),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )
     key = jax.random.PRNGKey(0)
     u = jax.random.normal(key, (SC_BT, SC_T, SC_D), jnp.bfloat16)

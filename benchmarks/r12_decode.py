@@ -1,0 +1,109 @@
+"""r12: decode-step roofline (VERDICT r4 weak-#3 / next-#3).
+
+The Mamba LM decode loop is ONE compiled lax.scan (no per-token dispatch),
+so the per-step floor is weight streaming: every step must read all layer
+params + the FULL tied embedding (the lm-head matmul touches all
+vocab x d entries) from HBM. This script:
+
+1. censuses the exact param bytes the step streams,
+2. times the decode scan at (batch, dtype) points,
+3. reports ms/step vs the HBM floor (v5e ~819 GB/s),
+4. A/Bs fp32 vs bf16 weights (the streaming-halving lever) and batch
+   scaling (weight streaming amortizes over batch; tok/s should rise
+   near-linearly until compute/state traffic binds).
+
+Reference counterpart: mamba/benchmarks/benchmark_generation_mamba_simple.py
+(fp16 weights on GPU — bf16 here is the same precision class).
+
+Run on the chip: python benchmarks/r12_decode.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+import numpy as np
+
+HBM_GBS = 819e9
+V5E_PEAK_BF16 = 197e12
+
+
+def _host(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def census(params, states):
+    pbytes = sum(l.size * l.dtype.itemsize
+                 for l in jax.tree_util.tree_leaves(params))
+    sbytes = sum(l.size * l.dtype.itemsize
+                 for l in jax.tree_util.tree_leaves(states))
+    return pbytes, sbytes
+
+
+def run(d_model=768, n_layer=12, vocab=50277, promptlen=16, genlen=128,
+        repeats=5):
+    from video_mamba_suite_tpu.models import MambaLMHeadModel
+    from video_mamba_suite_tpu.models.generation import (
+        GenerationConfig,
+        generate,
+    )
+
+    model = MambaLMHeadModel(d_model=d_model, n_layer=n_layer,
+                             vocab_size=vocab)
+    ids8 = jax.random.randint(jax.random.PRNGKey(0), (8, promptlen), 0, vocab)
+    params = model.init(jax.random.PRNGKey(1), ids8)
+    cfg = GenerationConfig(max_length=promptlen + genlen, top_k=1)
+    steps = promptlen + genlen
+
+    states = model.init_states(8)
+    pb, sb = census(params, states)
+    print(f"== decode roofline: Mamba-{d_model} x{n_layer}, vocab {vocab} ==")
+    print(f"  params {pb/1e6:.1f} MB (fp32) — the per-step streamed set; "
+          f"b8 states {sb/1e6:.1f} MB (read+written per step)")
+    for dtype, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        p = jax.tree.map(lambda x: x.astype(dtype)
+                         if x.dtype == jnp.float32 else x, params)
+        pbytes = sum(l.size * l.dtype.itemsize
+                     for l in jax.tree_util.tree_leaves(p))
+        for batch in (8, 32, 128):
+            ids = jax.random.randint(jax.random.PRNGKey(0),
+                                     (batch, promptlen), 0, vocab)
+            gen = jax.jit(lambda pp, ii: generate(model, pp, ii, cfg))
+            out = gen(p, ids)
+            _host(out)
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                out = gen(p, ids)
+            _host(out)
+            dt = (time.perf_counter() - t0) / repeats
+            ms_step = dt / steps * 1e3
+            # per-step HBM floor: full param set + state read+write
+            sbytes = sb / 8 * batch
+            floor_ms = (pbytes + 2 * sbytes) / HBM_GBS * 1e3
+            print(f"  {tag} b{batch:<3d}: {batch*steps/dt:8.0f} tok/s, "
+                  f"{ms_step:6.3f} ms/step "
+                  f"(weights {pbytes/1e6:6.1f} MB + states "
+                  f"{2*sbytes/1e6:6.1f} MB -> floor {floor_ms:.3f} ms, "
+                  f"{100*floor_ms/ms_step:3.0f}% of floor)", flush=True)
+        if tag == "bf16":
+            # correctness spot check: greedy tokens vs fp32 on prompt b8
+            out32 = gen32 = jax.jit(
+                lambda pp, ii: generate(model, pp, ii, cfg))(params, ids8)
+            outbf = jax.jit(
+                lambda pp, ii: generate(model, pp, ii, cfg))(p, ids8)
+            agree = float(jnp.mean((out32 == outbf).astype(jnp.float32)))
+            print(f"  bf16-vs-fp32 greedy token agreement (b8, "
+                  f"{steps} steps): {100*agree:.1f}%", flush=True)
+
+
+if __name__ == "__main__":
+    run()
