@@ -366,3 +366,16 @@ def test_hlo_audit_parses_ops_and_bytes():
         audit_collectives(stats, max_all_gather_bytes=0)
     audit_collectives(stats, max_all_gather_bytes=128,
                       expect_collective_permutes=(1, 4))
+    # permute-count bounds are version-sensitive heuristics: out-of-range
+    # WARNS by default (the entry-point dryrun must not fail on an XLA
+    # upgrade), raises only under strict_permutes
+    audit_collectives(stats, expect_collective_permutes=(5, 9))
+    with _pytest.raises(AssertionError):
+        audit_collectives(stats, expect_collective_permutes=(5, 9),
+                          strict_permutes=True)
+    # a2a floor: expert dispatch must actually ride all-to-all
+    with _pytest.raises(AssertionError):
+        audit_collectives(stats, min_all_to_all=1)
+    stats2 = collective_stats(
+        "  %a2a = f32[8,4]{1,0} all-to-all(f32[8,4]{1,0} %p0), dimensions={0}")
+    audit_collectives(stats2, min_all_to_all=1)
