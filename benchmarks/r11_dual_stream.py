@@ -281,13 +281,14 @@ def run_model():
         jax.random.PRNGKey(5), (batch, frames, size, size, 3), jnp.bfloat16)
     y = jax.random.normal(jax.random.PRNGKey(2), (batch, 512), jnp.float32)
 
-    for dual in (False, True):
+    for dual in (False, True, 4):
         model = TimeMamba(
             img_size=size, patch_size=16, embed_dim=768, depth=12,
             num_heads=12, num_frames=frames, ln_pre=True, output_dim=512,
             impl="pallas", scan_blocks=True, dual_stream=dual,
             dtype=jnp.bfloat16)
-        params = model.init({"params": jax.random.PRNGKey(1)}, x0[:2])
+        ninit = 4 if dual == 4 else 2  # init batch must divide by streams
+        params = model.init({"params": jax.random.PRNGKey(1)}, x0[:ninit])
         fwd = jax.jit(lambda p, x, m=model: m.apply(p, x))
         _host(fwd(params, x0)); _host(fwd(params, x1))
         iters = 40

@@ -190,7 +190,7 @@ class _BlockScanBody(nn.Module):
     group: int = 1   # blocks per scan step (HLO is O(group); larger groups
                      # amortize the while-loop carry copies — profiled at
                      # ~4.5 ms/block of pure copy/add overhead at group=1)
-    dual_stream: bool = False  # carry two half-batch streams and apply the
+    dual_stream: Any = False   # carry two half-batch streams and apply the
                      # (shared-param) block to each sequentially, so every
                      # MXU phase of one stream sits program-adjacent to an
                      # independent VPU (scan) phase of the other — the
@@ -261,9 +261,11 @@ class TimeMamba(nn.Module):
     ring_axes: Any = ("data", "seq")  # temporal adapters ring-scan over
                                     # ring_axes[1] (frame axis sharded);
                                     # spatial attention/MLP stay local
-    dual_stream: bool = False       # phase-shifted two-half-batch schedule
-                                    # (see _BlockScanBody.dual_stream);
-                                    # requires scan_blocks and even batch
+    dual_stream: Any = False        # phase-shifted multi-stream schedule
+                                    # (see _BlockScanBody.dual_stream):
+                                    # True = 2 streams, an int = that many;
+                                    # requires scan_blocks and batch %
+                                    # n_streams == 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -372,11 +374,14 @@ class TimeMamba(nn.Module):
                 name="blocks",
             )
             if self.dual_stream:
-                assert B % 2 == 0 and self.ring_mesh is None, \
-                    "dual_stream needs an even batch and no ring mesh"
-                h = B // 2
-                carry = ((cls_tokens[:h], patches[:h]),
-                         (cls_tokens[h:], patches[h:]))
+                ns = 2 if self.dual_stream is True else int(self.dual_stream)
+                assert ns >= 2 and B % ns == 0 and self.ring_mesh is None, \
+                    "dual_stream needs an even batch (divisible by the " \
+                    "stream count) and no ring mesh"
+                h = B // ns
+                carry = tuple(
+                    (cls_tokens[i * h:(i + 1) * h],
+                     patches[i * h:(i + 1) * h]) for i in range(ns))
                 streams, _ = scanned(carry, None)
                 cls_tokens = jnp.concatenate(
                     [s[0] for s in streams], axis=0)
