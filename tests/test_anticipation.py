@@ -81,6 +81,49 @@ def test_streaming_matches_batch():
     )
 
 
+def test_stream_prefill_matches_steps():
+    """stream_prefill must produce the step loop's scores AND leave the
+    states exactly where L stream_step calls would (so streaming can
+    continue seamlessly after a one-pass warm-up)."""
+    model = LSTRMamba(
+        visual_dim=8, motion_dim=0, d_model=16, num_classes=3,
+        long_memory_num_samples=0, work_memory_num_samples=5,
+        anticipation_num_samples=0, mamba_layers=2, impl="ref",
+    )
+    visual = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8))
+    params = model.init({"params": jax.random.PRNGKey(1)}, visual, None)
+
+    toks = jnp.stack(
+        [model.apply(params, visual[:, t], None, method="embed_work_token")
+         for t in range(5)], axis=1)
+
+    states = model.apply(params, 2, method="init_stream")
+    outs = []
+    for t in range(5):
+        logits, states = model.apply(params, toks[:, t], states,
+                                     method="stream_step")
+        outs.append(logits)
+    stepped = jnp.stack(outs, axis=1)
+
+    pre_scores, pre_states = model.apply(params, toks,
+                                         method="stream_prefill")
+    np.testing.assert_allclose(np.asarray(pre_scores), np.asarray(stepped),
+                               rtol=2e-3, atol=2e-3)
+    for (c1, s1), (c2, s2) in zip(pre_states, states):
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-3, atol=1e-3)
+
+    # continuing the stream from the prefilled states matches continuing
+    # from the stepped states
+    nxt = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    l1, _ = model.apply(params, nxt, pre_states, method="stream_step")
+    l2, _ = model.apply(params, nxt, states, method="stream_step")
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_metrics():
     scores = np.array([[0.1, 0.8, 0.1], [0.7, 0.2, 0.1], [0.1, 0.1, 0.8]])
     labels = np.array([1, 0, 2])

@@ -141,3 +141,72 @@ def test_vivim_scan_norm_mixer_variant():
                 for path, _ in jax.tree_util.tree_flatten_with_path(p)[0])
         outs.append(m.apply(p, x))
     assert outs[0].shape == outs[1].shape == (1, 5)
+
+
+def test_causal_prefill_matches_steps():
+    """One-shot prefill must land on EXACTLY the state the step loop
+    reaches after the prompt (conv window + SSM state), and its per-token
+    outputs must equal the full forward."""
+    model = MambaCausal(d_model=24, d_state=8, d_conv=4, expand=2, impl="ref")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 24))
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    out_pre, (conv_pre, ssm_pre) = model.apply(params, x, method="prefill")
+    np.testing.assert_allclose(
+        np.asarray(out_pre), np.asarray(model.apply(params, x)),
+        rtol=1e-5, atol=1e-5)
+
+    state = model.init_state(2)
+    for t in range(10):
+        _, state = model.apply(params, x[:, t], state, method="step")
+    conv_step, ssm_step = state
+    np.testing.assert_allclose(np.asarray(conv_pre), np.asarray(conv_step),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ssm_pre), np.asarray(ssm_step),
+                               rtol=1e-4, atol=1e-4)
+
+    # short-prompt corner: L < d_conv left-pads the conv window with zeros
+    out3, (conv3, _) = model.apply(params, x[:, :3], method="prefill")
+    assert out3.shape == (2, 3, 24)
+    state = model.init_state(2)
+    for t in range(3):
+        _, state = model.apply(params, x[:, t], state, method="step")
+    np.testing.assert_allclose(np.asarray(conv3), np.asarray(state[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lm_generate_prefill_matches_steploop():
+    """Greedy decode through the batched-prefill path must produce the
+    SAME tokens as the pure step loop (state-handoff correctness)."""
+    model = MambaLMHeadModel(d_model=32, n_layer=2, vocab_size=50)
+    ids = jnp.array([[3, 7, 1, 4], [9, 2, 2, 8]], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    cfg = GenerationConfig(max_length=10)
+    out_pre = generate(model, params, ids, cfg, prefill=True)
+    out_step = generate(model, params, ids, cfg, prefill=False)
+    np.testing.assert_array_equal(np.asarray(out_pre), np.asarray(out_step))
+    # prompt preserved verbatim
+    np.testing.assert_array_equal(np.asarray(out_pre[:, :4]), np.asarray(ids))
+
+
+def test_lm_generate_prefill_single_token_suffix():
+    """genlen == 1: prefill + one sample, no decode scan."""
+    model = MambaLMHeadModel(d_model=32, n_layer=2, vocab_size=50)
+    ids = jnp.array([[3, 7, 1, 4]], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    out = generate(model, params, ids, GenerationConfig(max_length=5))
+    logits = model.apply(params, ids)
+    assert int(out[0, 4]) == int(jnp.argmax(logits[0, -1]))
+
+
+def test_lm_generate_prefill_moe():
+    """Prefill through an MoE-interleaved stack (the MoE FFN is stateless
+    per position, so prefill routes it as a full-sequence call)."""
+    model = MambaLMHeadModel(d_model=32, n_layer=2, vocab_size=50,
+                             moe_every=1, moe_num_experts=2)
+    ids = jnp.array([[3, 7, 1, 4]], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    cfg = GenerationConfig(max_length=8)
+    out_pre = generate(model, params, ids, cfg, prefill=True)
+    out_step = generate(model, params, ids, cfg, prefill=False)
+    np.testing.assert_array_equal(np.asarray(out_pre), np.asarray(out_step))

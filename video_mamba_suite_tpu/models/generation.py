@@ -53,18 +53,28 @@ def generate(
     input_ids: jax.Array,
     config: GenerationConfig = GenerationConfig(),
     rng: Optional[jax.Array] = None,
+    prefill: bool = True,
 ) -> jax.Array:
-    """Prefill token-by-token, then decode with sampling.
+    """Prefill the prompt, then decode with sampling.
 
     input_ids: (batch, prompt_len) → (batch, max_length) generated ids
     (prompt included), greedy when top_k==1 and top_p==0.
 
-    The whole loop is `lax.scan`-compiled; wrap in jax.jit for repeated use.
+    prefill=True (default) runs ONE full-sequence forward over the prompt
+    (the fused-scan kernels + `return_last_state`) and only decodes the
+    generated suffix token-by-token — the analogue of the reference's
+    seqlen_offset=0 prefill forward (utils/generation.py:93-150), replacing
+    prompt_len sequential steps with batched MXU matmuls. prefill=False
+    keeps the pure step-loop path (used by the parity tests; also the
+    fallback for mixers without a `prefill` method). Greedy outputs are
+    identical either way; sampled outputs draw the same distribution but a
+    different key stream (the step loop burns one split per prompt token).
+
+    The decode loop is `lax.scan`-compiled; wrap in jax.jit for repeated use.
     """
     batch, prompt_len = input_ids.shape
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    states = model.init_states(batch)
 
     def step_fn(carry, t):
         token, states, key = carry
@@ -73,18 +83,38 @@ def generate(
         sampled = sample_logits(
             sub, logits, config.top_k, config.top_p, config.temperature
         ).astype(input_ids.dtype)
-        # during prefill, force the prompt token instead of the sample
-        in_prompt = t + 1 < prompt_len
-        padded_prompt = jnp.pad(
-            input_ids, ((0, 0), (0, 1))
-        )  # avoid OOB gather at t+1 == prompt_len
-        prompt_tok = lax.dynamic_index_in_dim(
-            padded_prompt, jnp.minimum(t + 1, prompt_len), axis=1, keepdims=False
-        )
-        next_token = jnp.where(in_prompt, prompt_tok, sampled)
-        return (next_token, states, key), next_token
+        if not prefill:
+            # step-loop path: force the prompt token instead of the sample
+            in_prompt = t + 1 < prompt_len
+            padded_prompt = jnp.pad(
+                input_ids, ((0, 0), (0, 1))
+            )  # avoid OOB gather at t+1 == prompt_len
+            prompt_tok = lax.dynamic_index_in_dim(
+                padded_prompt, jnp.minimum(t + 1, prompt_len), axis=1,
+                keepdims=False,
+            )
+            sampled = jnp.where(in_prompt, prompt_tok, sampled)
+        return (sampled, states, key), sampled
 
-    init = (input_ids[:, 0], states, rng)
-    _, tokens = lax.scan(step_fn, init, jnp.arange(config.max_length - 1))
-    out = jnp.concatenate([input_ids[:, :1], jnp.swapaxes(tokens, 0, 1)], axis=1)
-    return out
+    if not prefill:
+        states = model.init_states(batch)
+        init = (input_ids[:, 0], states, rng)
+        _, tokens = lax.scan(step_fn, init, jnp.arange(config.max_length - 1))
+        return jnp.concatenate(
+            [input_ids[:, :1], jnp.swapaxes(tokens, 0, 1)], axis=1)
+
+    genlen = config.max_length - prompt_len
+    assert genlen >= 1, (
+        f"max_length {config.max_length} must exceed prompt_len {prompt_len}"
+    )
+    logits, states = model.apply(params, input_ids, method="prefill")
+    rng, sub = jax.random.split(rng)
+    first = sample_logits(
+        sub, logits, config.top_k, config.top_p, config.temperature
+    ).astype(input_ids.dtype)
+    pieces = [input_ids, first[:, None]]
+    if genlen > 1:
+        _, tokens = lax.scan(
+            step_fn, (first, states, rng), jnp.arange(genlen - 1))
+        pieces.append(jnp.swapaxes(tokens, 0, 1))
+    return jnp.concatenate(pieces, axis=1)

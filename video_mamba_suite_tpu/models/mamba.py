@@ -150,12 +150,13 @@ class _ScanParams(nn.Module):
                     dt_bias=self.dt_bias, D=self.D)
 
     def __call__(self, xz: jax.Array, impl: str = "auto",
-                 mask: Optional[jax.Array] = None) -> jax.Array:
+                 mask: Optional[jax.Array] = None,
+                 return_last_state: bool = False) -> jax.Array:
         A = -jnp.exp(self.A_log)
         return mamba_inner(
             xz, self.conv_w, self.conv_b, self.x_proj, self.dt_proj,
             A, D=self.D, delta_bias=self.dt_bias, delta_softplus=True,
-            impl=impl, mask=mask,
+            impl=impl, mask=mask, return_last_state=return_last_state,
         )
 
 
@@ -434,6 +435,35 @@ class MambaCausal(_MambaBase):
             jnp.zeros((batch, self.d_inner, self.d_state), jnp.float32),
         )
 
+    def prefill(
+        self, hidden_states: jax.Array
+    ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+        """Full-sequence forward that ALSO returns the decode state.
+
+        One fused-scan pass over the prompt replaces prompt_len `step`
+        calls — the TPU analogue of the reference's seqlen_offset=0
+        prefill forward (utils/generation.py:93-150, mamba_simple.py
+        inference-params path :157-199).
+
+        hidden_states: (batch, L, d_model) →
+          (out (batch, L, d_model), (conv_state, ssm_state)) where the
+          state continues the sequence exactly as if `step` had been
+          called L times (parity-tested in tests/test_mamba_modules.py).
+        """
+        xz = self.in_proj(hidden_states)
+        x = xz[..., : self.d_inner]
+        y, ssm_state = self.fwd(xz, impl=self.impl, return_last_state=True)
+        # conv_state holds the last d_conv RAW (pre-conv) x rows, oldest
+        # first — the window causal_conv1d_update rolls (ops/causal_conv1d
+        # .py:93). Left-pad with zeros when the prompt is shorter.
+        L = x.shape[1]
+        if L >= self.d_conv:
+            conv_state = x[:, L - self.d_conv:, :]
+        else:
+            conv_state = jnp.pad(x, ((0, 0), (self.d_conv - L, 0), (0, 0)))
+        conv_state = conv_state.astype(jnp.float32)
+        return self.out_proj(y), (conv_state, ssm_state)
+
     def step(
         self, x_t: jax.Array, state: Tuple[jax.Array, jax.Array]
     ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
@@ -500,6 +530,13 @@ class Block(nn.Module):
         """Single-token variant: hidden_states (batch, dim)."""
         hidden_states, residual = self._add_norm(hidden_states, residual)
         hidden_states, state = self.mixer.step(hidden_states, state)
+        return hidden_states, residual, state
+
+    def prefill(self, hidden_states, residual=None):
+        """Full-sequence forward returning the mixer's decode state
+        (MambaCausal.prefill). hidden_states (batch, L, dim)."""
+        hidden_states, residual = self._add_norm(hidden_states, residual)
+        hidden_states, state = self.mixer.prefill(hidden_states)
         return hidden_states, residual, state
 
 

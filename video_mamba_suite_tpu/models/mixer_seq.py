@@ -172,6 +172,25 @@ class MixerModel(nn.Module):
         )
         return hidden, new_states
 
+    def prefill(self, input_ids: jax.Array):
+        """One full forward over the prompt that also yields per-layer
+        decode states — replaces prompt_len sequential `step` calls
+        (the reference's seqlen_offset=0 prefill, utils/generation.py:93).
+        input_ids (batch, L) → (hidden (batch, L, d), states)."""
+        hidden = self.embedding(input_ids)
+        residual = None
+        states = []
+        for layer, moe in zip(self.layers, self.moe_blocks):
+            hidden, residual, st = layer.prefill(hidden, residual)
+            if moe is not None:
+                hidden, residual = moe(hidden, residual)
+            states.append(st)
+        hidden, _ = fused_add_norm(
+            hidden, self.norm_f_w, self.norm_f_b, residual=residual,
+            prenorm=False, eps=self.norm_eps, is_rms_norm=self.rms_norm,
+        )
+        return hidden, states
+
 
 class MambaLMHeadModel(nn.Module):
     """LM with weight-tied head (mixer_seq_simple.py:173-233)."""
@@ -218,6 +237,15 @@ class MambaLMHeadModel(nn.Module):
         hidden, states = self.backbone.step(token, states)
         emb = self.backbone.embedding.embedding
         return jnp.dot(hidden, emb.T.astype(hidden.dtype)), states
+
+    def prefill(self, input_ids: jax.Array):
+        """Batched prompt prefill: (batch, L) ids → ((batch, vocab) logits
+        at the LAST prompt position, per-layer decode states). One fused
+        full-sequence pass instead of L `step` calls."""
+        hidden, states = self.backbone.prefill(input_ids)
+        emb = self.backbone.embedding.embedding
+        logits = jnp.dot(hidden[:, -1], emb.T.astype(hidden.dtype))
+        return logits, states
 
     def moe_aux_loss(self, intermediates) -> jax.Array:
         """Sum the sown Switch load-balance losses ('moe_aux' entries only

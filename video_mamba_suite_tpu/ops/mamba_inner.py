@@ -41,6 +41,7 @@ def mamba_inner(
     out_proj_bias: Optional[jax.Array] = None,
     impl: str = "auto",
     mask: Optional[jax.Array] = None,
+    return_last_state: bool = False,
 ) -> jax.Array:
     """Run the full Mamba mixer body on one direction.
 
@@ -62,10 +63,15 @@ def mamba_inner(
         and length — a property the reference kernels lack (they integrate
         pad positions through the backward-direction scan) but which TPU
         static-shape bucketing requires (SURVEY.md §7 hard part c).
+      return_last_state: also return the final (batch, d_inner, d_state)
+        SSM state — the one-shot-prefill handle (the reference prefills a
+        decode session with a full forward at seqlen_offset=0,
+        utils/generation.py:93-150).
 
     Returns:
       (batch, seqlen, d_inner) if out_proj_weight is None else
-      (batch, seqlen, d_model).
+      (batch, seqlen, d_model); with return_last_state, a (out, last_state)
+      tuple.
     """
     d_inner = xz.shape[-1] // 2
     dt_rank = dt_proj_weight.shape[0]
@@ -87,7 +93,11 @@ def mamba_inner(
     y = selective_scan(
         x, dt, A, B, C, D=D, z=z,
         delta_bias=delta_bias, delta_softplus=delta_softplus, impl=impl,
+        return_last_state=return_last_state,
     )
+    last_state = None
+    if return_last_state:
+        y, last_state = y
     # named for targeted remat: save_only_these_names("mamba_scan_out")
     # keeps the scan output across the remat boundary so the bwd pass
     # skips re-running the fwd scan kernel (inert without that policy)
@@ -96,7 +106,7 @@ def mamba_inner(
         y = jnp.dot(y, out_proj_weight.astype(y.dtype))
         if out_proj_bias is not None:
             y = y + out_proj_bias.astype(y.dtype)
-    return y
+    return (y, last_state) if return_last_state else y
 
 def _proj_dt_bc(x, x_proj_weight, dt_proj_weight, d_state, mask):
     """x_proj → (dt, B, C) with dt projected and mask-forced (shared helper)."""

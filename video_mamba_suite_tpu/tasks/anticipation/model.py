@@ -180,3 +180,23 @@ class LSTRMamba(nn.Module):
     def embed_work_token(self, visual, motion=None):
         """Fuse one frame's features for streaming (B, Dv) → (B, d_model)."""
         return self.feature_head_work(visual, motion)
+
+    def stream_prefill(self, tokens):
+        """Warm the streaming states from a (B, L, d_model) fused-token
+        history in ONE full-sequence pass — the analogue of LSTRStream
+        priming its long memory before per-frame updates (lstr.py:337-400),
+        replacing L sequential `stream_step` calls with batched matmuls +
+        one fused scan per layer.
+
+        Returns ((B, L, num_classes) scores, states) with `states` exactly
+        where `stream_step` would have left them (parity-tested)."""
+        hidden, residual = tokens, None
+        new_states = []
+        for blk in self.blocks:
+            hidden, residual, st = blk.prefill(hidden, residual)
+            new_states.append(st)
+        hidden, _ = fused_add_norm(
+            hidden, self.norm_f_w, None, residual=residual, prenorm=False,
+            is_rms_norm=True,
+        )
+        return self.classifier(hidden), new_states
