@@ -267,21 +267,22 @@ def run_fused():
 
 
 # ---------------------------------------------------------------- 3. model
-def run_model():
-    print("== model: TimeMamba-B single-stream vs dual-stream ==", flush=True)
+def run_model(batch: int = 8, duals=(False, True, 4)):
+    print(f"== model: TimeMamba-B b{batch} stream sweep {duals} ==",
+          flush=True)
     import optax
 
     from benchmarks.profile_timemamba import timemamba_flops
     from video_mamba_suite_tpu.models.timemamba import TimeMamba
 
-    batch, frames, size = 8, 16, 224
+    frames, size = 16, 224
     x0 = jax.random.normal(
         jax.random.PRNGKey(0), (batch, frames, size, size, 3), jnp.bfloat16)
     x1 = jax.random.normal(
         jax.random.PRNGKey(5), (batch, frames, size, size, 3), jnp.bfloat16)
     y = jax.random.normal(jax.random.PRNGKey(2), (batch, 512), jnp.float32)
 
-    for dual in (False, True, 4):
+    for dual in duals:
         model = TimeMamba(
             img_size=size, patch_size=16, embed_dim=768, depth=12,
             num_heads=12, num_frames=frames, ln_pre=True, output_dim=512,
@@ -337,4 +338,9 @@ if __name__ == "__main__":
     if which in ("fused", "all"):
         run_fused()
     if which in ("model", "all"):
-        run_model()
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        duals = (
+            tuple(False if d == "1" else (True if d == "2" else int(d))
+                  for d in sys.argv[3].split(","))
+            if len(sys.argv) > 3 else (False, True, 4))
+        run_model(batch, duals)

@@ -82,6 +82,11 @@ def run(d_model=768, n_layer=12, vocab=50277, promptlen=16, genlen=128,
             _host(out)
             t0 = time.perf_counter()
             for _ in range(repeats):
+                # chain: next prompt derives from the previous output —
+                # identical-dispatch loops can read BELOW the HBM floor on
+                # the tunneled chip (dedup/pipelining artifact, BASELINE.md
+                # timing-methodology note)
+                ids = out[:, -promptlen:] % vocab
                 out = gen(p, ids)
             _host(out)
             dt = (time.perf_counter() - t0) / repeats
@@ -95,14 +100,18 @@ def run(d_model=768, n_layer=12, vocab=50277, promptlen=16, genlen=128,
                   f"{2*sbytes/1e6:6.1f} MB -> floor {floor_ms:.3f} ms, "
                   f"{100*floor_ms/ms_step:3.0f}% of floor)", flush=True)
         if tag == "bf16":
-            # correctness spot check: greedy tokens vs fp32 on prompt b8
-            out32 = gen32 = jax.jit(
-                lambda pp, ii: generate(model, pp, ii, cfg))(params, ids8)
-            outbf = jax.jit(
-                lambda pp, ii: generate(model, pp, ii, cfg))(p, ids8)
+            # numerics spot check: greedy tokens vs fp32 on prompt b8.
+            # NB: random-init weights make argmax over 50k near-uniform
+            # logits knife-edge sensitive, and one flipped token diverges
+            # the whole autoregressive suffix — low agreement here is a
+            # property of the random model, not a kernel bug (the fwd/grad
+            # parity suites in tests/ are the correctness evidence).
+            g = jax.jit(lambda pp, ii: generate(model, pp, ii, cfg))
+            out32, outbf = g(params, ids8), g(p, ids8)
             agree = float(jnp.mean((out32 == outbf).astype(jnp.float32)))
             print(f"  bf16-vs-fp32 greedy token agreement (b8, "
-                  f"{steps} steps): {100*agree:.1f}%", flush=True)
+                  f"{steps} steps, random-init weights): {100*agree:.1f}%",
+                  flush=True)
 
 
 if __name__ == "__main__":

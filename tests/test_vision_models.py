@@ -164,14 +164,16 @@ def test_timemamba_dual_stream_matches_single():
 
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 32, 32, 3))
     outs = {}
-    for dual in (False, True):
+    for dual in (False, True, 4):  # 4-stream is the bench.py default
         model = TimeMamba(img_size=32, patch_size=16, embed_dim=64, depth=4,
                           num_heads=4, num_frames=4, ln_pre=True,
                           output_dim=32, impl="ref", scan_blocks=True,
                           dual_stream=dual)
-        params = model.init({"params": jax.random.PRNGKey(1)}, x[:2])
+        # init batch must divide by the stream count (the ns=4 case)
+        params = model.init({"params": jax.random.PRNGKey(1)}, x)
         outs[dual] = np.asarray(model.apply(params, x))
     np.testing.assert_allclose(outs[True], outs[False], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs[4], outs[False], rtol=2e-5, atol=2e-5)
 
 
 def test_timemamba_dual_stream_guards():
