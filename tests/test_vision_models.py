@@ -177,7 +177,10 @@ def test_timemamba_dual_stream_matches_single():
 
 
 def test_timemamba_dual_stream_guards():
-    """dual_stream needs scan_blocks and an even batch."""
+    """dual_stream needs scan_blocks; non-divisible batches (batch-1 eval,
+    shape-probing init) silently fall back to the numerically-identical
+    single-stream schedule with the SAME param tree (this broke bench.py's
+    batch-1 init when the guard was a hard assert)."""
     import pytest
 
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3))
@@ -186,11 +189,20 @@ def test_timemamba_dual_stream_guards():
                       impl="ref", scan_blocks=False, dual_stream=True)
     with pytest.raises(AssertionError, match="scan_blocks"):
         model.init({"params": jax.random.PRNGKey(1)}, x)
-    model = TimeMamba(img_size=32, patch_size=16, embed_dim=32, depth=2,
-                      num_heads=4, num_frames=2, ln_pre=True, output_dim=16,
-                      impl="ref", scan_blocks=True, dual_stream=True)
-    with pytest.raises(AssertionError, match="even batch"):
-        model.init({"params": jax.random.PRNGKey(1)}, x[:1])
+
+    kw = dict(img_size=32, patch_size=16, embed_dim=32, depth=2,
+              num_heads=4, num_frames=2, ln_pre=True, output_dim=16,
+              impl="ref", scan_blocks=True)
+    dual = TimeMamba(**kw, dual_stream=4)
+    single = TimeMamba(**kw, dual_stream=False)
+    # init on a batch the stream count does NOT divide, apply on one it does
+    params = dual.init({"params": jax.random.PRNGKey(1)}, x[:1])
+    ref_params = single.init({"params": jax.random.PRNGKey(1)}, x[:1])
+    assert jax.tree.structure(params) == jax.tree.structure(ref_params)
+    out1 = dual.apply(params, x[:1])     # fallback path
+    ref1 = single.apply(params, x[:1])
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_patchify_conv_matches_nn_conv():

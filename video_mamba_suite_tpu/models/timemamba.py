@@ -331,6 +331,17 @@ class TimeMamba(nn.Module):
 
         if self.scan_blocks:
             assert self.depth % self.scan_group == 0, "scan_group ∤ depth"
+            ns = 0
+            if self.dual_stream:
+                ns = 2 if self.dual_stream is True else int(self.dual_stream)
+                assert ns >= 2 and self.ring_mesh is None, \
+                    "dual_stream needs a stream count >= 2 and no ring mesh"
+                if B % ns != 0:
+                    # batches the stream count doesn't divide (batch-1 eval,
+                    # shape-probing init) run the numerically-identical
+                    # single-stream schedule; the param tree is unchanged
+                    # (streams share the block params)
+                    ns = 0
             if self.remat:
                 if self.remat_policy == "save_scan":
                     # targeted: keep ONLY the Pallas scan outputs across the
@@ -370,14 +381,10 @@ class TimeMamba(nn.Module):
                 attn_flash=self.attn_flash,
                 dtype=self.dtype, quant=self.quant,
                 ring_mesh=self.ring_mesh, ring_axes=self.ring_axes,
-                dual_stream=self.dual_stream,
+                dual_stream=bool(ns),
                 name="blocks",
             )
-            if self.dual_stream:
-                ns = 2 if self.dual_stream is True else int(self.dual_stream)
-                assert ns >= 2 and B % ns == 0 and self.ring_mesh is None, \
-                    "dual_stream needs an even batch (divisible by the " \
-                    "stream count) and no ring mesh"
+            if ns:
                 h = B // ns
                 carry = tuple(
                     (cls_tokens[i * h:(i + 1) * h],
