@@ -142,7 +142,14 @@ def bench_tal_train(batch=2, seq_len=2304, feat_dim=2048, n_cls=20):
 
 def bench_long_context(l=1_048_576, d=384, n=16):
     """1M-token bidirectional MambaVim forward (the TimeMamba 5000-frame
-    self-test scaled up, timemamba.py:392-400)."""
+    self-test scaled up, timemamba.py:392-400).
+
+    MambaVim is shape-preserving, so the timing loop CHAINS each call on
+    the previous output (x = f(p, x)) — a true data dependence. The
+    original identical-dispatch loop read this point at 8.9 Mtok/s, 2.9x
+    faster than the device-serial time (a single direction's scan alone
+    measures ~107 ms): the BASELINE.md pipelining/dedup artifact at full
+    scale (benchmarks/r13b_long_chained.py)."""
     from video_mamba_suite_tpu.models.mamba import MambaVim
 
     model = MambaVim(d_model=d, expand=2, impl="pallas", dtype=jnp.bfloat16,
@@ -150,9 +157,17 @@ def bench_long_context(l=1_048_576, d=384, n=16):
     x = jax.random.normal(jax.random.PRNGKey(0), (1, l, d), jnp.bfloat16)
     params = model.init({"params": jax.random.PRNGKey(1)}, x[:, :256])
     f = jax.jit(lambda p, x: model.apply(p, x))
-    t = _time(f, params, x, iters=5)
+    for _ in range(2):
+        x = f(params, x)
+    _fetch(x)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        x = f(params, x)
+    _fetch(x)
+    t = (time.perf_counter() - t0) / iters
     print(f"[long] MambaVim d{d} fwd at {l/1e6:.1f}M tokens: {t*1e3:.0f} ms "
-          f"→ {l/t/1e6:.1f} Mtok/s/chip", flush=True)
+          f"→ {l/t/1e6:.1f} Mtok/s/chip (chained)", flush=True)
     return t
 
 

@@ -690,3 +690,99 @@ def test_bidir_bwd_dispatches_fused_kernel(monkeypatch):
 
     jax.grad(loss, argnums=tuple(range(10)))(*args)
     assert calls["fused"] == 1 and calls["flip"] == 0, calls
+
+
+@pytest.mark.parametrize("seqlen", [200, 203])  # 203: padded-tail identities
+@pytest.mark.parametrize("has_z,has_d,has_h0", [
+    (False, False, False), (True, True, False), (True, True, True)])
+def test_segmented_two_pass_matches_ref(seqlen, has_z, has_d, has_h0):
+    """The segment-parallel two-pass route (lane-starved huge sequences on
+    chip; driven here at toy sizes) == the reference scan, values, last
+    state AND gradients — incl. the exp(A·Σdt) segment-decay identity, the
+    dt=0 padded tail, grouped B/C reshape, and initial_state chaining."""
+    from video_mamba_suite_tpu.ops.selective_scan_pallas import _segmented_scan
+
+    rng = jax.random.PRNGKey(seqlen + 7 * has_z + 3 * has_h0)
+    u, delta, A, B, C, D, z, bias, g = _inputs(
+        rng, b=2, l=seqlen, d=16, n=4, itype=jnp.float32,
+        has_d=has_d, has_z=has_z, has_bias=True,
+    )
+    h0 = (0.5 * jax.random.normal(jax.random.PRNGKey(99), (2, 16, 4))
+          if has_h0 else None)
+
+    def ref(u, delta, B, C, D, z, bias, h0):
+        # fold h0 analytically: y_t += C_t · (∏_{s≤t} a_s) h0, and the last
+        # state gains (∏ a_s) h0
+        out, last = selective_scan_ref(
+            u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+            delta_softplus=True, return_last_state=True)
+        if h0 is None:
+            return out, last
+        dtf = jax.nn.softplus(delta.astype(jnp.float32)
+                              + bias.astype(jnp.float32))
+        decay = jnp.exp(jnp.cumsum(dtf, axis=1)[..., None] * A[None, None])
+        corr = jnp.einsum("bldn,bdn,bln->bld", decay, h0, C)
+        if z is not None:
+            corr = corr * jax.nn.silu(z.astype(jnp.float32))
+        return out + corr, last + decay[:, -1] * h0
+
+    def seg(u, delta, B, C, D, z, bias, h0):
+        return _segmented_scan(
+            u, delta, A, B, C, D, z, bias,
+            return_last_state=True, chunk=8, dtile=256, interpret=True,
+            initial_state=h0)
+
+    out_r, last_r = ref(u, delta, B, C, D, z, bias, h0)
+    out_s, last_s = seg(u, delta, B, C, D, z, bias, h0)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(last_s), np.asarray(last_r),
+                               rtol=2e-4, atol=2e-4)
+
+    wrt = [0, 1, 2, 3] + ([4] if has_d else []) + ([5] if has_z else []) \
+        + [6] + ([7] if has_h0 else [])
+
+    def mkloss(fn):
+        def f(u, delta, B, C, D, z, bias, h0):
+            out, last = fn(u, delta, B, C, D, z, bias, h0)
+            return (jnp.sum(out.astype(jnp.float32) * g)
+                    + jnp.sum(last.astype(jnp.float32)))
+        return f
+
+    gr = jax.grad(mkloss(ref), argnums=tuple(wrt))(
+        u, delta, B, C, D, z, bias, h0)
+    gs = jax.grad(mkloss(seg), argnums=tuple(wrt))(
+        u, delta, B, C, D, z, bias, h0)
+    for a_, r_ in zip(gs, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(r_))))
+        np.testing.assert_allclose(
+            np.asarray(a_, np.float32) / scale,
+            np.asarray(r_, np.float32) / scale, rtol=2e-3, atol=3e-3)
+
+
+def test_segmented_route_engages_on_huge_seq(monkeypatch):
+    """The public wrapper dispatches lane-starved huge sequences to the
+    segmented route (thresholds shrunk here so the test stays toy-sized)."""
+    import video_mamba_suite_tpu.ops.selective_scan_pallas as sp
+
+    monkeypatch.setattr(sp, "SEG_MIN_SEQ", 128)
+    calls = {}
+    orig = sp._segmented_scan
+
+    def spy(*a, **k):
+        calls["seg"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sp, "_segmented_scan", spy)
+    rng = jax.random.PRNGKey(3)
+    u, delta, A, B, C, D, z, bias, _ = _inputs(
+        rng, b=1, l=256, d=16, n=4, itype=jnp.float32,
+        has_d=True, has_z=True, has_bias=True)
+    out_ref = selective_scan_ref(u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+                                 delta_softplus=True)
+    out = sp.selective_scan_pallas(u, delta, A, B, C, D=D, z=z,
+                                   delta_bias=bias, delta_softplus=True,
+                                   chunk=8, interpret=True)
+    assert calls.get("seg"), "segmented route did not engage"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)

@@ -154,6 +154,28 @@ def test_vivim_scan_blocks():
     assert leaf.shape[0] == 4
 
 
+def test_vivim_dual_stream_matches_single():
+    """ViViM dual_stream (multi-stream phase-shifted schedule through the
+    shared-param scanned ViM stack, mirroring TimeMamba's) is a pure
+    schedule change: same param tree, same outputs; non-divisible batches
+    fall back to the single-stream schedule."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 32, 32, 3))
+    outs, trees = {}, {}
+    for dual in (False, True, 4):
+        model = ViViM(img_size=32, patch_size=16, num_frames=2, depth=4,
+                      embed_dim=32, output_dim=16, scan_blocks=True,
+                      impl="assoc", dual_stream=dual)
+        params = model.init({"params": jax.random.PRNGKey(1)}, x)
+        trees[dual] = jax.tree.structure(params)
+        outs[dual] = np.asarray(model.apply(params, x))
+        # non-divisible batch: numerically-identical fallback
+        out1 = model.apply(params, x[:1])
+        assert out1.shape == (1, 16)
+    assert trees[True] == trees[False] == trees[4]
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs[4], outs[False], rtol=2e-5, atol=2e-5)
+
+
 def test_timemamba_dual_stream_matches_single():
     """dual_stream=True (two half-batch streams through the shared-param
     scanned block stack — the r11 phase-shifted schedule that overlaps one

@@ -40,29 +40,40 @@ class _ViViMScanBody(nn.Module):
     deterministic: bool
     mixer: str = "vim"   # "vim" | "scan_norm" (vivim_scan_norm.py variants)
     d_state: int = 16    # SSM state size (the hs4 model-zoo variant uses 4)
+    dual_stream: bool = False  # carry n batch streams and apply the shared-
+                         # param block to each sequentially — the phase-
+                         # shifted schedule (models/timemamba.py
+                         # _BlockScanBody.dual_stream): each stream's scan
+                         # (VPU) sits program-adjacent to the other streams'
+                         # projection matmuls (MXU)
 
     @nn.compact
     def __call__(self, carry, _):
-        hidden, residual = carry
+        streams = carry if self.dual_stream else (carry,)
         w = self.param("norm_w", nn.initializers.ones,
                        (self.embed_dim,), jnp.float32)
         b = (None if self.rms_norm
              else self.param("norm_b", nn.initializers.zeros,
                              (self.embed_dim,), jnp.float32))
-        h_in = DropPath(rate=self.drop_path, name="dp")(
-            hidden, deterministic=self.deterministic
-        ) if self.drop_path > 0 else hidden
-        h, res = fused_add_norm(
-            h_in, w, b, residual=residual, prenorm=True,
-            eps=self.norm_eps, is_rms_norm=self.rms_norm,
-        )
-        cls = MambaScanNorm if self.mixer == "scan_norm" else MambaVim
-        out = cls(
+        dp = (DropPath(rate=self.drop_path, name="dp")
+              if self.drop_path > 0 else None)
+        mcls = MambaScanNorm if self.mixer == "scan_norm" else MambaVim
+        mixer = mcls(
             d_model=self.embed_dim, d_state=self.d_state,
             if_devide_out=self.if_devide_out,
             impl=self.impl, name="mixer",
-        )(h)
-        return (out, res), None
+        )
+        out = []
+        for hidden, residual in streams:
+            h_in = dp(hidden, deterministic=self.deterministic) \
+                if dp is not None else hidden
+            h, res = fused_add_norm(
+                h_in, w, b, residual=residual, prenorm=True,
+                eps=self.norm_eps, is_rms_norm=self.rms_norm,
+            )
+            out.append((mixer(h), res))
+        streams = tuple(out)
+        return (streams if self.dual_stream else streams[0]), None
 
 
 class PatchEmbed(nn.Module):
@@ -110,6 +121,13 @@ class ViViM(nn.Module):
                                     # 24-deep training step through the
                                     # remote-compile service)
     impl: str = "auto"
+    dual_stream: Any = False        # phase-shifted multi-stream schedule
+                                    # (True = 2 streams, an int = that many);
+                                    # requires scan_blocks. Batches the
+                                    # stream count does not divide (batch-1
+                                    # eval, shape-probing init) fall back to
+                                    # the numerically-identical single-stream
+                                    # schedule with the SAME param tree
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -175,8 +193,16 @@ class ViViM(nn.Module):
             )(h)
             return out, res
 
+        assert self.scan_blocks or not self.dual_stream, \
+            "dual_stream requires scan_blocks"
         if self.scan_blocks:
             assert not self.if_bidirectional, "scan_blocks: unidirectional only"
+            ns = 0
+            if self.dual_stream:
+                ns = 2 if self.dual_stream is True else int(self.dual_stream)
+                assert ns >= 2, "dual_stream needs a stream count >= 2"
+                if B % ns != 0:
+                    ns = 0  # single-stream fallback, same param tree
             if self.remat:
                 # targeted policy: keep the Pallas scan outputs across the
                 # remat boundary so the bwd skips re-running the fwd scan
@@ -198,11 +224,19 @@ class ViViM(nn.Module):
                 norm_eps=self.norm_eps, if_devide_out=self.if_devide_out,
                 impl=self.impl, drop_path=self.drop_path_rate,
                 deterministic=deterministic, mixer=self.mixer,
-                d_state=self.d_state, name="blocks",
+                d_state=self.d_state, dual_stream=bool(ns), name="blocks",
             )
-            (hidden, residual), _ = scanned(
-                (hidden, jnp.zeros_like(hidden, jnp.float32)), None
-            )
+            res0 = jnp.zeros_like(hidden, jnp.float32)
+            if ns:
+                h = B // ns
+                carry = tuple(
+                    (hidden[i * h:(i + 1) * h], res0[i * h:(i + 1) * h])
+                    for i in range(ns))
+                streams, _ = scanned(carry, None)
+                hidden = jnp.concatenate([s[0] for s in streams], axis=0)
+                residual = jnp.concatenate([s[1] for s in streams], axis=0)
+            else:
+                (hidden, residual), _ = scanned((hidden, res0), None)
         elif not self.if_bidirectional:
             for i in range(self.depth):
                 hidden, residual = block(i, hidden, residual)

@@ -64,6 +64,15 @@ LONG_BT_ELEMS_BWD = 128  # bwd holds chunk·bt·n·dtile recomputed states in
 # single-stream 1M-token forwards).
 HS_BATCH_MAX = 4
 HS_CHUNK = 32  # tuned round-1 default for the parallel in-chunk pass
+# Above this seqlen, lane-starved small batches take the segment-parallel
+# two-pass route instead of Hillis–Steele: split L into S segments run as a
+# batch (filling the VPU), combine the per-segment summaries — total decay is
+# exactly exp(A·Σdt), so only the local last-states need pass 1 — then a
+# second batched pass with the exact incoming states. 2× the scan work at
+# ~10–16× the lane occupancy (see _segmented_scan; measured speedup on the
+# 1M-token bidirectional MambaVim standing point recorded in BASELINE.md).
+SEG_MIN_SEQ = 32768
+SEG_TARGET_ROWS = 64  # S·batch sized so the sequential walk's bt tiles fill
 
 
 def _batch_tile(batch: int, chunk: int, elems: int) -> int:
@@ -636,6 +645,12 @@ def selective_scan_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     seq_padded = _round_up(u.shape[1], 8)
+    if (u.shape[0] <= HS_BATCH_MAX and u.shape[1] >= SEG_MIN_SEQ
+            and delta_softplus and u.shape[0] < SEG_TARGET_ROWS):
+        # lane-starved huge sequence: segment-parallel two-pass route
+        return _segmented_scan(
+            u, delta, A, B, C, D, z, delta_bias,
+            return_last_state, chunk, dtile, interpret, initial_state)
     if seq_padded <= SHORT_SEQ_MAX and initial_state is None:
         # batch-tiled single-chunk path for tiny sequences (video adapters)
         bt = max(1, SHORT_BT_ELEMS // seq_padded)
@@ -655,6 +670,97 @@ def selective_scan_pallas(
     if return_last_state:
         return out, last
     return out
+
+def _segmented_scan(u, delta, A, B, C, D, z, delta_bias,
+                    return_last_state, chunk, dtile, interpret,
+                    initial_state):
+    """Segment-parallel two-pass scan for lane-starved huge sequences.
+
+    A batch-1 sequence gives the sequential chunk walk only (n·dtile) lanes
+    of work per step and the Hillis–Steele variant only one chunk per grid
+    step — both run far under the VPU roofline. This route reshapes
+    (b, L, d) into (b·S, L/S, d) and runs the existing batched kernel twice:
+
+      pass 1   local scans with h0 = 0 → per-segment last states s_i
+      combine  the per-segment TOTAL decay is exp(A · Σ_t dt_t) — a cheap
+               reduction, no scan needed — so the exact incoming state of
+               every segment is a length-S prefix scan of
+               (exp(A·Σdt_i), s_i), the same first-order pairs the kernel
+               itself chains (and `parallel/ring_scan.py` passes between
+               devices; this is its single-chip analogue)
+      pass 2   the same batched kernel with the exact incoming states
+
+    2× the scan work at ~10–16× the lane occupancy. Padded tail steps are
+    exact identity elements (delta = -1e9 ⇒ softplus ⇒ dt = 0 ⇒ a = 1,
+    b = 0), which is why the route requires delta_softplus. Both passes are
+    the custom-VJP kernel, so the composition autodiffs (at ~2× the usual
+    backward cost — pass 1's discarded y still runs its adjoint).
+    """
+    b, l, dim = u.shape
+    squeeze_g = B.ndim == 3
+    if squeeze_g:
+        B, C = B[:, :, None], C[:, :, None]
+    S = max(1, SEG_TARGET_ROWS // b)
+    lc = _round_up(_cdiv(l, S), chunk)
+    S = _cdiv(l, lc)
+    lp = S * lc
+
+    def seg(x, fill=0.0):
+        if x is None:
+            return None
+        pads = [(0, 0), (0, lp - l)] + [(0, 0)] * (x.ndim - 2)
+        xp = jnp.pad(x, pads, constant_values=fill) if lp > l else x
+        return xp.reshape((b * S, lc) + x.shape[2:])
+
+    u_r, z_r = seg(u), seg(z)
+    delta_r = seg(delta, fill=-1e9)       # softplus(-1e9 + bias) == 0: the
+    B_r, C_r = seg(B), seg(C)             # padded tail is an exact identity
+
+    # per-segment summary decay from Σdt (fused reduce, nothing materialized)
+    dtf = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        dtf = dtf + delta_bias.astype(jnp.float32)
+    dtf = jax.nn.softplus(dtf)
+    if lp > l:
+        dtf = jnp.pad(dtf, ((0, 0), (0, lp - l), (0, 0)))  # zero dt: identity
+    seg_dt = dtf.reshape(b, S, lc, dim).sum(axis=2)        # (b, S, d)
+    decay = jnp.exp(seg_dt[..., None] * A[None, None])     # (b, S, d, n)
+
+    _, s_loc = selective_scan_pallas(
+        u_r, delta_r, A, B_r, C_r, D=None, z=None, delta_bias=delta_bias,
+        delta_softplus=True, return_last_state=True,
+        chunk=chunk, dtile=dtile, interpret=interpret,
+        # explicit zero h0 forces the chunked path, whose last_state is
+        # exactly differentiable (the short path stop-gradients it)
+        initial_state=jnp.zeros((b * S, dim, A.shape[1]), jnp.float32),
+    )
+    s_loc = s_loc.reshape(b, S, dim, A.shape[1])
+
+    def comb(lhs, rhs):
+        a1, x1 = lhs
+        a2, x2 = rhs
+        return a1 * a2, a2 * x1 + x2
+
+    acum, xglob = lax.associative_scan(comb, (decay, s_loc), axis=1)
+    if initial_state is not None:
+        h0 = initial_state.astype(jnp.float32)            # (b, d, n)
+        xglob = xglob + acum * h0[:, None]
+        first = h0[:, None]
+    else:
+        first = jnp.zeros_like(xglob[:, :1])
+    incoming = jnp.concatenate([first, xglob[:, :-1]], axis=1)
+
+    out = selective_scan_pallas(
+        u_r, delta_r, A, B_r, C_r, D=D, z=z_r, delta_bias=delta_bias,
+        delta_softplus=True, return_last_state=False,
+        chunk=chunk, dtile=dtile, interpret=interpret,
+        initial_state=incoming.reshape(b * S, dim, A.shape[1]),
+    )
+    out = out.reshape(b, lp, dim)[:, :l]
+    if return_last_state:
+        return out, xglob[:, -1]
+    return out
+
 
 # ---------------------------------------------------------------------------
 # Short-sequence fast path
