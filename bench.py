@@ -316,6 +316,34 @@ def bench_decode(batch: int = 8, promptlen: int = 16, genlen: int = 128,
     # weight-streaming floor — benchmarks/r12_decode.py)
     _gate("decode_tok_s", toks / dt, lo=17000.0)
 
+    # int8 serving mode: offline-quantized weights halve the streamed
+    # bytes (models/quant_decode.py). Chip point 60.6k tok/s, 0.132
+    # ms/step = 80% of ITS floor — 3.0x the bf16 arm and past the bf16
+    # arm's theoretical floor (benchmarks/r15_decode_w8.py).
+    from video_mamba_suite_tpu.models.quant_decode import (
+        quantize_lm_for_decode,
+    )
+
+    p_w8 = quantize_lm_for_decode(
+        jax.tree.map(lambda x: x.astype(jnp.float32)
+                     if x.dtype == jnp.bfloat16 else x, params))
+    gen8 = jax.jit(lambda p, i: generate(model, p, i, cfg))
+    out = gen8(p_w8, ids)
+    _fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        ids = out[:, -promptlen:] % vocab
+        out = gen8(p_w8, ids)
+    _fetch(out)
+    dt = (time.perf_counter() - t0) / repeats
+    print(
+        f"[bench] Mamba-{d_model} LM decode int8 serving (same shape, "
+        f"w8 offline-quantized, chained): {toks / dt:.0f} tok/s, "
+        f"{dt / (promptlen + genlen) * 1e3:.2f} ms/step",
+        file=sys.stderr,
+    )
+    _gate("decode_w8_tok_s", toks / dt, lo=42000.0)
+
 
 def bench_cli_trajectories(vtg_epochs: int = 50, mir_epochs: int = 20,
                            tas_epochs: int = 50, cap_epochs: int = 20,

@@ -58,6 +58,57 @@ def make_dense(features: int, *, quant: bool = False, **kw):
     return (QuantDense if quant else nn.Dense)(features, **kw)
 
 
+class W8Dense(nn.Dense):
+    """nn.Dense that transparently consumes OFFLINE-quantized int8 kernels.
+
+    Without a ``qscale`` collection this IS nn.Dense (same init, params,
+    gradients). When apply() is given variables produced by
+    ``models.quant_decode.quantize_lm_for_decode`` — the 'kernel' leaf
+    replaced by int8 and a per-output-channel fp32 scale at the same module
+    path in the 'qscale' collection — the matmul reads the int8 kernel
+    (HALF the HBM weight stream, the decode-step bottleneck: BASELINE.md
+    decode section) and applies the scale to the output. Unlike QuantDense
+    (dynamic w8a8 from full-width master weights, which still streams fp32
+    from HBM), this is the serving path where the stored bytes themselves
+    are int8. Reference counterpart: none (the reference serves fp16);
+    capability beyond mamba/benchmarks/benchmark_generation_mamba_simple.py.
+    """
+
+    def __call__(self, x):
+        # NOT @nn.compact: the int8 branch only READS variables (apply-time,
+        # post-quantization), and the fallback delegates to nn.Dense's own
+        # compact __call__ for param declaration.
+        if self.has_variable("qscale", "kernel"):
+            kernel = self.get_variable("params", "kernel")   # int8 (in, out)
+            s = self.get_variable("qscale", "kernel")        # (out,) f32
+            y = jnp.dot(x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            y = y * s
+            if self.use_bias:
+                y = y + self.get_variable("params", "bias")
+            return y.astype(self.dtype or x.dtype)
+        return super().__call__(x)
+
+
+class W8Embed(nn.Embed):
+    """nn.Embed that transparently consumes an offline-quantized int8 table.
+
+    With a ``qscale`` entry ('embedding' per-ROW fp32 scales, (vocab,)),
+    the lookup gathers int8 rows and rescales; the same per-row scales
+    rescale the weight-tied LM head's output columns
+    (MambaLMHeadModel._logits). Without qscale this IS nn.Embed.
+    """
+
+    def __call__(self, inputs):
+        if self.has_variable("qscale", "embedding"):
+            s = self.get_variable("qscale", "embedding")     # (vocab,) f32
+            rows = jnp.take(self.embedding, inputs, axis=0)
+            scl = jnp.take(s, inputs, axis=0)
+            return rows.astype(jnp.bfloat16) * scl[..., None].astype(
+                jnp.bfloat16)
+        return super().__call__(inputs)
+
+
 class PatchifyConv(nn.Module):
     """Stride-p VALID patch-embed conv, computed as im2col + matmul.
 

@@ -199,7 +199,11 @@ class _MambaBase(nn.Module):
             from .common import QuantDense
 
             return QuantDense
-        return nn.Dense
+        # identical to nn.Dense unless apply() receives offline-quantized
+        # int8 kernels (a 'qscale' collection — models/quant_decode.py)
+        from .common import W8Dense
+
+        return W8Dense
 
     @property
     def d_inner(self) -> int:

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import fused_add_norm, layer_norm, rms_norm
+from .common import W8Embed
 from .mamba import Block, MambaCausal, make_block
 
 
@@ -108,7 +109,9 @@ class MixerModel(nn.Module):
     moe_mesh: Optional[Any] = None
 
     def setup(self):
-        self.embedding = nn.Embed(
+        # W8Embed == nn.Embed unless apply() receives an offline-quantized
+        # int8 table (quant_decode.quantize_lm_for_decode)
+        self.embedding = W8Embed(
             self.vocab_size, self.d_model,
             embedding_init=nn.initializers.normal(self.initializer_range),
         )
@@ -226,26 +229,35 @@ class MambaLMHeadModel(nn.Module):
             moe_mesh=self.moe_mesh,
         )
 
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
-        hidden = self.backbone(input_ids)
-        # tied lm head: logits = hidden @ E^T
-        emb = self.backbone.embedding.embedding
+    def _logits(self, hidden: jax.Array) -> jax.Array:
+        """Tied lm head: logits = hidden @ E^T. With an offline-quantized
+        int8 table (quant_decode), E's per-row scales become the logits'
+        per-vocab-column scales — the matmul reads int8, halving the
+        dominant term of the decode weight stream."""
+        embmod = self.backbone.embedding
+        emb = embmod.embedding
+        if embmod.has_variable("qscale", "embedding"):
+            s = embmod.get_variable("qscale", "embedding")   # (vocab,) f32
+            y = jnp.dot(hidden.astype(jnp.bfloat16),
+                        emb.T.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            return y * s
         return jnp.dot(hidden, emb.T.astype(hidden.dtype))
+
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        return self._logits(self.backbone(input_ids))
 
     def step(self, token: jax.Array, states):
         """One decode step: (batch,) token → ((batch, vocab) logits, states)."""
         hidden, states = self.backbone.step(token, states)
-        emb = self.backbone.embedding.embedding
-        return jnp.dot(hidden, emb.T.astype(hidden.dtype)), states
+        return self._logits(hidden), states
 
     def prefill(self, input_ids: jax.Array):
         """Batched prompt prefill: (batch, L) ids → ((batch, vocab) logits
         at the LAST prompt position, per-layer decode states). One fused
         full-sequence pass instead of L `step` calls."""
         hidden, states = self.backbone.prefill(input_ids)
-        emb = self.backbone.embedding.embedding
-        logits = jnp.dot(hidden[:, -1], emb.T.astype(hidden.dtype))
-        return logits, states
+        return self._logits(hidden[:, -1]), states
 
     def moe_aux_loss(self, intermediates) -> jax.Array:
         """Sum the sown Switch load-balance losses ('moe_aux' entries only
