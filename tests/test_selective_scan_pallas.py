@@ -786,3 +786,94 @@ def test_segmented_route_engages_on_huge_seq(monkeypatch):
     assert calls.get("seg"), "segmented route did not engage"
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("route", ["chunked", "segmented"])
+@pytest.mark.parametrize("has_h0", [False, True])
+def test_reverse_flip_free_matches_flip_composition(route, has_h0):
+    """reverse=True (flip-free anti-causal kernels: reversed index maps +
+    reversed in-chunk walk; segment chaining becomes a suffix scan) ==
+    flip∘scan∘flip on values, last state AND gradients. The chunked case
+    drives _rev_core directly (batch > HS_BATCH_MAX); the segmented case
+    drives the reversed two-pass route."""
+    import video_mamba_suite_tpu.ops.selective_scan_pallas as sp
+
+    b = 6 if route == "chunked" else 2
+    l = 200 if route == "chunked" else 203
+    rng = jax.random.PRNGKey(11 + has_h0)
+    u, delta, A, B, C, D, z, bias, g = _inputs(
+        rng, b=b, l=l, d=16, n=4, itype=jnp.float32,
+        has_d=True, has_z=True, has_bias=True)
+    h0 = (0.3 * jax.random.normal(jax.random.PRNGKey(7), (b, 16, 4))
+          if has_h0 else None)
+
+    def call(fn_u, fn_delta, fn_B, fn_C, fn_z, reverse, h0_):
+        if route == "chunked":
+            # initial_state (zeros if absent) forces the chunked core
+            h0_ = (h0_ if h0_ is not None
+                   else jnp.zeros((b, 16, 4), jnp.float32))
+            return sp.selective_scan_pallas(
+                fn_u, fn_delta, A, fn_B, fn_C, D=D, z=fn_z, delta_bias=bias,
+                delta_softplus=True, return_last_state=True, chunk=8,
+                interpret=True, initial_state=h0_, reverse=reverse)
+        return sp._segmented_scan(
+            fn_u, fn_delta, A, fn_B, fn_C, D, fn_z, bias,
+            True, 8, 256, True, h0_, reverse=reverse)
+
+    f = lambda x: None if x is None else jnp.flip(x, axis=1)
+
+    def rev(u, delta, B, C, z, h0_):
+        return call(u, delta, B, C, z, True, h0_)
+
+    def ref(u, delta, B, C, z, h0_):
+        out, last = call(f(u), f(delta), f(B), f(C), f(z), False, h0_)
+        return f(out), last
+
+    o1, l1 = rev(u, delta, B, C, z, h0)
+    o2, l2 = ref(u, delta, B, C, z, h0)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-4, atol=2e-4)
+
+    wrt = (0, 1, 2, 3, 4) + ((5,) if has_h0 else ())
+
+    def mkloss(fn):
+        def loss(u, delta, B, C, z, h0_):
+            out, last = fn(u, delta, B, C, z, h0_)
+            return jnp.sum(out * g) + jnp.sum(last)
+        return loss
+
+    g1 = jax.grad(mkloss(rev), argnums=wrt)(u, delta, B, C, z, h0)
+    g2 = jax.grad(mkloss(ref), argnums=wrt)(u, delta, B, C, z, h0)
+    for a_, r_ in zip(g1, g2):
+        scale = max(1.0, float(jnp.max(jnp.abs(r_))))
+        np.testing.assert_allclose(
+            np.asarray(a_, np.float32) / scale,
+            np.asarray(r_, np.float32) / scale, rtol=2e-3, atol=3e-3)
+
+
+def test_bidir_mixers_flip_free_long_path():
+    """MambaVim/DBM/ScanNorm long paths (fuse_scan=False) run the bwd
+    direction through reverse=True — no flip copies — and must match the
+    assoc reference composition, with and without masks."""
+    from video_mamba_suite_tpu.models.mamba import (
+        MambaDBM,
+        MambaScanNorm,
+        MambaVim,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 72, 24))
+    mask = (jax.random.uniform(jax.random.PRNGKey(5), (2, 72)) > 0.2
+            ).astype(jnp.float32).at[:, :40].set(1.0)
+    for cls in (MambaVim, MambaDBM, MambaScanNorm):
+        m = cls(d_model=24, d_state=4, expand=2, impl="pallas",
+                fuse_scan=False)
+        p = m.init({"params": jax.random.PRNGKey(1)}, x)
+        m_ref = cls(d_model=24, d_state=4, expand=2, impl="assoc",
+                    fuse_scan=False)
+        for args in ((x,), (x, mask)):
+            out = m.apply(p, *args)
+            ref = m_ref.apply(p, *args)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)

@@ -151,12 +151,14 @@ class _ScanParams(nn.Module):
 
     def __call__(self, xz: jax.Array, impl: str = "auto",
                  mask: Optional[jax.Array] = None,
-                 return_last_state: bool = False) -> jax.Array:
+                 return_last_state: bool = False,
+                 reverse: bool = False) -> jax.Array:
         A = -jnp.exp(self.A_log)
         return mamba_inner(
             xz, self.conv_w, self.conv_b, self.x_proj, self.dt_proj,
             A, D=self.D, delta_bias=self.dt_bias, delta_softplus=True,
             impl=impl, mask=mask, return_last_state=return_last_state,
+            reverse=reverse,
         )
 
 
@@ -313,10 +315,12 @@ class MambaVim(_MambaBase):
             )
             out = out_f + out_b
         else:
-            mask_b = jnp.flip(mask, axis=1) if mask is not None else None
+            # flip-free: the bwd direction runs the reverse kernels
+            # (mamba_inner reverse=True) instead of the reference's
+            # flip(scan(flip)) pattern (mamba_simple.py bimamba v2)
             out_f = self.fwd(xz, impl=self.impl, mask=mask)
-            out_b = self.bwd(jnp.flip(xz, axis=1), impl=self.impl, mask=mask_b)
-            out = out_f + jnp.flip(out_b, axis=1)
+            out_b = self.bwd(xz, impl=self.impl, mask=mask, reverse=True)
+            out = out_f + out_b
         if self.if_devide_out:
             out = out / 2
         return self.out_proj(out)
@@ -357,11 +361,10 @@ class MambaDBM(_MambaBase):
             )
             out = jnp.concatenate([out_f, out_b], axis=-1)
         else:
-            mask_b = jnp.flip(mask, axis=1) if mask is not None else None
             out_f = self.shared(xz_f, impl=self.impl, mask=mask)
-            out_b = self.shared(jnp.flip(xz_b, axis=1), impl=self.impl,
-                                mask=mask_b)
-            out = jnp.concatenate([out_f, jnp.flip(out_b, axis=1)], axis=-1)
+            out_b = self.shared(xz_b, impl=self.impl, mask=mask,
+                                reverse=True)
+            out = jnp.concatenate([out_f, out_b], axis=-1)
         return self.out_proj(out)
 
 
@@ -397,11 +400,9 @@ class MambaScanNorm(_MambaBase):
             )
             out = out_f + out_b
         else:
-            mask_b = jnp.flip(mask, axis=1) if mask is not None else None
             out_f = self.fwd(xz, impl=self.impl, mask=mask)
-            out_b = self.bwd(jnp.flip(xz, axis=1), impl=self.impl,
-                             mask=mask_b)
-            out = out_f + jnp.flip(out_b, axis=1)
+            out_b = self.bwd(xz, impl=self.impl, mask=mask, reverse=True)
+            out = out_f + out_b
         out = rms_norm(out, self.scan_norm_w)
         return self.out_proj(out)
 

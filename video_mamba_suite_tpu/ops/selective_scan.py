@@ -223,6 +223,7 @@ def selective_scan(
     delta_softplus: bool = False,
     return_last_state: bool = False,
     impl: str = "auto",
+    reverse: bool = False,
 ):
     """Dispatching front-end (equivalent of the reference `selective_scan_fn`).
 
@@ -231,6 +232,11 @@ def selective_scan(
     family every Mamba module actually uses), else 'assoc'. Complex A rides
     the two-channel real Pallas kernel (real variable B/C only; its training
     adjoint routes through the assoc path).
+
+    reverse=True: the anti-causal scan == flip∘scan∘flip (the reference
+    bidirectional mixers flip around the second `selective_scan_fn` call,
+    mamba_simple.py bimamba paths). The pallas impl runs it FLIP-FREE on
+    its inference fast paths (reverse kernels); assoc/ref compose flips.
     """
     if impl == "auto":
         use_pallas = (
@@ -251,7 +257,20 @@ def selective_scan(
         return selective_scan_pallas(
             u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
             delta_softplus=delta_softplus, return_last_state=return_last_state,
+            reverse=reverse,
         )
+    if reverse:  # assoc/ref: plain flip composition
+        def _f(x):
+            return None if x is None else jnp.flip(x, axis=1)
+
+        out = selective_scan(
+            _f(u), _f(delta), A, _f(B), _f(C), D=D, z=_f(z),
+            delta_bias=delta_bias, delta_softplus=delta_softplus,
+            return_last_state=return_last_state, impl=impl)
+        if return_last_state:
+            out, last = out
+            return _f(out), last
+        return _f(out)
     if impl == "assoc":
         return selective_scan_assoc(
             u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,

@@ -115,6 +115,7 @@ def _fwd_kernel(
     out_ref, *rest,
     softplus: bool, has_d: bool, has_z: bool, nchunks: int,
     chunk: int, seqlen: int, want_states: bool = True,
+    reverse: bool = False,
 ):
     """Sequential in-chunk walk over (bt, n, d) state tiles.
 
@@ -128,6 +129,14 @@ def _fwd_kernel(
     checkpointed to HBM for the backward (x_ptr, selective_scan.cpp:249).
     Measured ~2.6x the Hillis–Steele in-chunk variant it replaced
     (b8 l2048 d1024 n16 on v5e).
+
+    reverse=True runs the ANTI-causal recurrence h_t = a_t·h_{t+1} + b_t·u_t
+    flip-free: the index maps visit chunks last-to-first (the CUDA
+    BlockReverseScan direction, reverse_scan.cuh:19-100) and the in-chunk
+    loop walks t backwards; h0 enters at the sequence END and `last` is the
+    state at t=0. Primal-only (inference): the training VJP routes through
+    the flip-based composition (`_rev_core`), so this path never
+    checkpoints states.
     """
     if want_states:
         states_ref, last_ref, h_carry = rest
@@ -143,8 +152,10 @@ def _fwd_kernel(
 
     a_t = a_ref[...].astype(jnp.float32)           # (n, d) — A tile, transposed
     bias_t = bias_ref[0].astype(jnp.float32)       # (d,) broadcasts
+    li_eff = nchunks - 1 - li if reverse else li   # time-chunk this step sees
     u, _, dt, _, bmat, cmat = _chunk_prep(
-        u_ref, delta_ref, b_ref, c_ref, bias_t, softplus, li, chunk, seqlen)
+        u_ref, delta_ref, b_ref, c_ref, bias_t, softplus, li_eff, chunk,
+        seqlen)
     bt, c, d = u.shape
     dtu = dt * u
 
@@ -153,7 +164,7 @@ def _fwd_kernel(
         states_ref[...] = h[:, None]               # checkpoint for the bwd
 
     ys = [None] * c
-    for t in range(c):
+    for t in (reversed(range(c)) if reverse else range(c)):
         a = jnp.exp(_row1(dt, t)[:, None, :] * a_t[None])
         h = a * h + _row1(dtu, t)[:, None, :] * _col(bmat, t)
         ys[t] = jnp.sum(h * _col(cmat, t), axis=1)[:, None]
@@ -371,12 +382,16 @@ def _scan_core(u, delta, A, B, C, D, z, delta_bias, h0,
 
 
 def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
-                   softplus, chunk, dtile, interpret, want_states=True):
+                   softplus, chunk, dtile, interpret, want_states=True,
+                   reverse=False):
     batch, seqlen, dim = u.shape
     dstate = A.shape[1]
     ngroups = B.shape[2]
     has_d, has_z = D is not None, z is not None
     use_hs = batch <= HS_BATCH_MAX
+    assert not (reverse and use_hs), \
+        "flip-free reverse is the batched-kernel path only (dispatch " \
+        "routes small batches through the flip composition)"
     bt = 1 if use_hs else _batch_tile(batch, chunk, LONG_BT_ELEMS)
 
     up, deltap, Bp, Cp, zp, _, bp, lp, dp = _pad_args(
@@ -388,7 +403,7 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
         zp = jnp.zeros((bp, 1, dp), u.dtype)  # dummy, never read
 
     ld_spec, ln_spec, z_spec, a_spec, vec_spec, states_spec = _specs(
-        bt, chunk, dtile, dstate, nchunks, has_z, reverse=False,
+        bt, chunk, dtile, dstate, nchunks, has_z, reverse=reverse,
         ngroups=ngroups, ndt=ndt,
     )
     last_spec = pl.BlockSpec((bt, dstate, dtile),
@@ -400,6 +415,7 @@ def _scan_fwd_impl(u, delta, A, B, C, D, z, delta_bias, h0,
         softplus=softplus, has_d=has_d, has_z=has_z,
         nchunks=nchunks, chunk=chunk, seqlen=seqlen,
         want_states=want_states,
+        **({} if use_hs else {"reverse": reverse}),
     )
     out_specs = [ld_spec] + ([states_spec] if want_states else []) + [last_spec]
     out_shape = (
@@ -556,6 +572,46 @@ def _scan_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
 
 
+def _flip(x):
+    return None if x is None else jnp.flip(x, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _rev_core(u, delta, A, B, C, D, z, delta_bias, h0,
+              softplus: bool, chunk: int, dtile: int, interpret: bool):
+    """Anti-causal scan, (out, state at t=0). PRIMAL is the flip-free
+    reverse kernel (`_fwd_kernel(reverse=True)`: reversed index maps +
+    reversed in-chunk walk — the xplane of the 1M-token bidirectional
+    point showed 42 ms/iter of exclusive-compute `reverse` HLOs, 15% of
+    the step, benchmarks/r13-series). The TRAINING rules below reuse the
+    battle-tested forward VJP on flipped operands — gradients cost the
+    same as the old flip path; only inference is flip-free."""
+    out, _, last = _scan_fwd_impl(
+        u, delta, A, B, C, D, z, delta_bias, h0,
+        softplus, chunk, dtile, interpret, want_states=False, reverse=True,
+    )
+    return out, last
+
+
+def _rev_core_fwd(u, delta, A, B, C, D, z, delta_bias, h0,
+                  softplus, chunk, dtile, interpret):
+    (out, last), res = _scan_core_fwd(
+        _flip(u), _flip(delta), A, _flip(B), _flip(C), D, _flip(z),
+        delta_bias, h0, softplus, chunk, dtile, interpret)
+    return (_flip(out), last), res
+
+
+def _rev_core_bwd(softplus, chunk, dtile, interpret, residuals, cotangents):
+    g, g_last = cotangents
+    du, ddelta, dA, dB, dC, dD, dz, dbias, dh0 = _scan_core_bwd(
+        softplus, chunk, dtile, interpret, residuals, (_flip(g), g_last))
+    return (_flip(du), _flip(ddelta), dA, _flip(dB), _flip(dC), dD,
+            _flip(dz), dbias, dh0)
+
+
+_rev_core.defvjp(_rev_core_fwd, _rev_core_bwd)
+
+
 def selective_scan_pallas(
     u: jax.Array,
     delta: jax.Array,
@@ -571,6 +627,7 @@ def selective_scan_pallas(
     dtile: int = DEFAULT_DTILE,
     interpret: Optional[bool] = None,
     initial_state: Optional[jax.Array] = None,
+    reverse: bool = False,
 ):
     """Pallas production path: real A, per-step B/C — (batch, seqlen, dstate)
     or grouped (batch, seqlen, G, dstate) with each d-group's width a
@@ -582,6 +639,16 @@ def selective_scan_pallas(
     sequence-parallel shard-chaining input); forces the chunked path, whose
     last_state is exactly differentiable (and dL/d(initial_state) flows).
     The short path's last_state stays stop_gradient'ed.
+
+    reverse=True computes the ANTI-causal scan (h_t depends on t..L-1;
+    initial_state enters at the sequence END, last_state is the state at
+    t=0) == flip∘scan∘flip but WITHOUT the flip copies on the inference
+    fast paths (the CUDA kernels' BlockReverseScan direction,
+    reverse_scan.cuh): the segmented and batched-chunk routes run
+    reversed index maps + a reversed in-chunk walk. Routes without a
+    flip-free kernel (short / Hillis–Steele small-batch) and the training
+    VJP fall back to the flip composition — same cost as the caller
+    flipping, so `reverse=True` is never slower.
     """
     squeeze_g = False
     if B.ndim == 3:
@@ -629,6 +696,7 @@ def selective_scan_pallas(
                     initial_state=(
                         padg(initial_state.swapaxes(1, 2)).swapaxes(1, 2)
                         if initial_state is not None else None),
+                    reverse=reverse,
                 )
                 def unpad(y):
                     yg = y.reshape(y.shape[:-1] + (ngroups, wp))
@@ -638,6 +706,10 @@ def selective_scan_pallas(
                     return unpad(o), unpad(last.swapaxes(1, 2)).swapaxes(1, 2)
                 return unpad(out)
     if jnp.issubdtype(A.dtype, jnp.complexfloating):
+        if reverse:
+            return _rev_via_flip(
+                u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+                return_last_state, chunk, dtile, interpret, initial_state)
         # reference BOOL_SWITCH complex variants; real variable B/C only
         return _selective_scan_pallas_complex(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus,
@@ -650,8 +722,13 @@ def selective_scan_pallas(
         # lane-starved huge sequence: segment-parallel two-pass route
         return _segmented_scan(
             u, delta, A, B, C, D, z, delta_bias,
-            return_last_state, chunk, dtile, interpret, initial_state)
+            return_last_state, chunk, dtile, interpret, initial_state,
+            reverse=reverse)
     if seq_padded <= SHORT_SEQ_MAX and initial_state is None:
+        if reverse:  # no flip-free short kernel: compose (cost parity
+            return _rev_via_flip(  # with the caller's own flips)
+                u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+                return_last_state, chunk, dtile, interpret, initial_state)
         # batch-tiled single-chunk path for tiny sequences (video adapters)
         bt = max(1, SHORT_BT_ELEMS // seq_padded)
         out, last = _short_core(
@@ -661,9 +738,15 @@ def selective_scan_pallas(
         last = lax.stop_gradient(last)
     else:
         if u.shape[0] <= HS_BATCH_MAX:
+            if reverse:  # Hillis–Steele has no reverse variant either
+                return _rev_via_flip(
+                    u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+                    return_last_state, chunk, dtile, interpret,
+                    initial_state)
             chunk = min(chunk, HS_CHUNK)  # parallel in-chunk pass depth
         chunk = min(chunk, seq_padded)
-        out, last = _scan_core(
+        core = _rev_core if reverse else _scan_core
+        out, last = core(
             u, delta, A, B, C, D, z, delta_bias, initial_state,
             delta_softplus, chunk, dtile, interpret,
         )
@@ -671,9 +754,24 @@ def selective_scan_pallas(
         return out, last
     return out
 
+
+def _rev_via_flip(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+                  return_last_state, chunk, dtile, interpret, initial_state):
+    """reverse=True on routes without a flip-free kernel: the plain
+    flip∘scan∘flip composition (identical cost to the caller flipping)."""
+    out = selective_scan_pallas(
+        _flip(u), _flip(delta), A, _flip(B), _flip(C), D=D, z=_flip(z),
+        delta_bias=delta_bias, delta_softplus=delta_softplus,
+        return_last_state=return_last_state, chunk=chunk, dtile=dtile,
+        interpret=interpret, initial_state=initial_state)
+    if return_last_state:
+        out, last = out
+        return _flip(out), last
+    return _flip(out)
+
 def _segmented_scan(u, delta, A, B, C, D, z, delta_bias,
                     return_last_state, chunk, dtile, interpret,
-                    initial_state):
+                    initial_state, reverse=False):
     """Segment-parallel two-pass scan for lane-starved huge sequences.
 
     A batch-1 sequence gives the sequential chunk walk only (n·dtile) lanes
@@ -695,6 +793,14 @@ def _segmented_scan(u, delta, A, B, C, D, z, delta_bias,
     b = 0), which is why the route requires delta_softplus. Both passes are
     the custom-VJP kernel, so the composition autodiffs (at ~2× the usual
     backward cost — pass 1's discarded y still runs its adjoint).
+
+    reverse=True is the anti-causal mirror, fully flip-free: the inner
+    passes run the reverse kernel, the segment decay exp(A·Σdt) is
+    direction-independent, and the chaining becomes a SUFFIX scan of the
+    affine maps M_i(x) = decay_i·x + s_i (composition
+    M_i∘M_{i+1}∘…∘M_{S-1}: state enters at the far right); incoming_i is
+    the suffix composite of segments i+1…, and the returned last_state is
+    the state at t=0 (segment 0's left edge).
     """
     b, l, dim = u.shape
     squeeze_g = B.ndim == 3
@@ -733,32 +839,41 @@ def _segmented_scan(u, delta, A, B, C, D, z, delta_bias,
         # explicit zero h0 forces the chunked path, whose last_state is
         # exactly differentiable (the short path stop-gradients it)
         initial_state=jnp.zeros((b * S, dim, A.shape[1]), jnp.float32),
+        reverse=reverse,
     )
     s_loc = s_loc.reshape(b, S, dim, A.shape[1])
 
     def comb(lhs, rhs):
+        # affine-map composition M_rhs ∘ M_lhs (lhs is traversed FIRST in
+        # scan order — for reverse=True that's the later-in-time block;
+        # the rule itself is direction-independent)
         a1, x1 = lhs
         a2, x2 = rhs
         return a1 * a2, a2 * x1 + x2
 
-    acum, xglob = lax.associative_scan(comb, (decay, s_loc), axis=1)
+    acum, xglob = lax.associative_scan(comb, (decay, s_loc), axis=1,
+                                       reverse=reverse)
     if initial_state is not None:
         h0 = initial_state.astype(jnp.float32)            # (b, d, n)
         xglob = xglob + acum * h0[:, None]
         first = h0[:, None]
     else:
         first = jnp.zeros_like(xglob[:, :1])
-    incoming = jnp.concatenate([first, xglob[:, :-1]], axis=1)
+    if reverse:
+        incoming = jnp.concatenate([xglob[:, 1:], first], axis=1)
+    else:
+        incoming = jnp.concatenate([first, xglob[:, :-1]], axis=1)
 
     out = selective_scan_pallas(
         u_r, delta_r, A, B_r, C_r, D=D, z=z_r, delta_bias=delta_bias,
         delta_softplus=True, return_last_state=False,
         chunk=chunk, dtile=dtile, interpret=interpret,
         initial_state=incoming.reshape(b * S, dim, A.shape[1]),
+        reverse=reverse,
     )
     out = out.reshape(b, lp, dim)[:, :l]
     if return_last_state:
-        return out, xglob[:, -1]
+        return out, (xglob[:, 0] if reverse else xglob[:, -1])
     return out
 
 
