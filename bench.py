@@ -573,10 +573,11 @@ def main():
         from benchmarks.bench_training import bench_long_context
 
         t = bench_long_context()
-        # r13b chained point: 3.8 Mtok/s (segmented two-pass scan route;
-        # the old 8.9 was the identical-dispatch pipelining artifact —
-        # see bench_long_context's docstring). Floor = ~82% of 3.8.
-        _gate("long_mtok_s", 1_048_576 / t / 1e6, lo=3.1)
+        # r16 chained point: 4.68 Mtok/s (segmented two-pass scan route +
+        # flip-free reverse direction; the old 8.9 was the
+        # identical-dispatch pipelining artifact — see
+        # bench_long_context's docstring). Floor = ~82% of 4.68.
+        _gate("long_mtok_s", 1_048_576 / t / 1e6, lo=3.85)
 
     _safe("TAL train step", _tal)
     _safe("1M-token long context", _long)
